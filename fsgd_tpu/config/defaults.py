@@ -1,0 +1,263 @@
+"""Default configuration tree.
+
+Key-for-key parity with the reference's config surface
+(detectron2/config/defaults.py:18-572 plus the fork's additions
+INPUT.RANDOM_FLIPPING/RESIZING at defaults.py:82-84 and MODEL.GAMBLER_ON at
+defaults.py:562) so that the reference's YAML configs merge unmodified.
+Expressed as one nested literal (converted to :class:`CfgNode`) rather than
+imperative assignments; TPU-specific knobs live under the new ``TPU`` node.
+"""
+
+from .cfg_node import CfgNode as CN
+
+_WEIGHT_DECAY = 0.0001
+
+_DEFAULTS = dict(
+    VERSION=2,
+    MODEL=dict(
+        LOAD_PROPOSALS=False,
+        MASK_ON=False,
+        KEYPOINT_ON=False,
+        # "tpu" by default; tests force the CPU backend via JAX_PLATFORMS.
+        DEVICE="tpu",
+        META_ARCHITECTURE="GeneralizedRCNN",
+        WEIGHTS="",
+        # Image normalization in BGR channel order (detectron2 convention).
+        PIXEL_MEAN=[103.530, 116.280, 123.675],
+        PIXEL_STD=[1.0, 1.0, 1.0],
+        GAMBLER_ON=False,
+        BACKBONE=dict(
+            NAME="build_resnet_backbone",
+            FREEZE_AT=2,  # stop_gradient below this ResNet stage
+        ),
+        FPN=dict(
+            IN_FEATURES=[],
+            OUT_CHANNELS=256,
+            NORM="",
+            FUSE_TYPE="sum",
+        ),
+        PROPOSAL_GENERATOR=dict(
+            NAME="RPN",
+            MIN_SIZE=0,
+        ),
+        ANCHOR_GENERATOR=dict(
+            NAME="DefaultAnchorGenerator",
+            SIZES=[[32, 64, 128, 256, 512]],
+            ASPECT_RATIOS=[[0.5, 1.0, 2.0]],
+            ANGLES=[[-90, 0, 90]],
+        ),
+        RPN=dict(
+            HEAD_NAME="StandardRPNHead",
+            IN_FEATURES=["res4"],
+            BOUNDARY_THRESH=-1,
+            IOU_THRESHOLDS=[0.3, 0.7],
+            IOU_LABELS=[0, -1, 1],
+            BATCH_SIZE_PER_IMAGE=256,
+            POSITIVE_FRACTION=0.5,
+            BBOX_REG_WEIGHTS=(1.0, 1.0, 1.0, 1.0),
+            SMOOTH_L1_BETA=0.0,
+            LOSS_WEIGHT=1.0,
+            PRE_NMS_TOPK_TRAIN=12000,
+            PRE_NMS_TOPK_TEST=6000,
+            POST_NMS_TOPK_TRAIN=2000,
+            POST_NMS_TOPK_TEST=1000,
+            NMS_THRESH=0.7,
+        ),
+        ROI_HEADS=dict(
+            NAME="Res5ROIHeads",
+            NUM_CLASSES=80,
+            IN_FEATURES=["res4"],
+            IOU_THRESHOLDS=[0.5],
+            IOU_LABELS=[0, 1],
+            BATCH_SIZE_PER_IMAGE=512,
+            POSITIVE_FRACTION=0.25,
+            SCORE_THRESH_TEST=0.05,
+            NMS_THRESH_TEST=0.5,
+            PROPOSAL_APPEND_GT=True,
+        ),
+        ROI_BOX_HEAD=dict(
+            NAME="",
+            BBOX_REG_WEIGHTS=(10.0, 10.0, 5.0, 5.0),
+            SMOOTH_L1_BETA=0.0,
+            POOLER_RESOLUTION=14,
+            POOLER_SAMPLING_RATIO=0,
+            POOLER_TYPE="ROIAlignV2",
+            NUM_FC=0,
+            FC_DIM=1024,
+            NUM_CONV=0,
+            CONV_DIM=256,
+            NORM="",
+            CLS_AGNOSTIC_BBOX_REG=False,
+        ),
+        ROI_BOX_CASCADE_HEAD=dict(
+            BBOX_REG_WEIGHTS=(
+                (10.0, 10.0, 5.0, 5.0),
+                (20.0, 20.0, 10.0, 10.0),
+                (30.0, 30.0, 15.0, 15.0),
+            ),
+            IOUS=(0.5, 0.6, 0.7),
+        ),
+        ROI_MASK_HEAD=dict(
+            NAME="MaskRCNNConvUpsampleHead",
+            POOLER_RESOLUTION=14,
+            POOLER_SAMPLING_RATIO=0,
+            NUM_CONV=0,
+            CONV_DIM=256,
+            NORM="",
+            CLS_AGNOSTIC_MASK=False,
+            POOLER_TYPE="ROIAlignV2",
+        ),
+        ROI_KEYPOINT_HEAD=dict(
+            NAME="KRCNNConvDeconvUpsampleHead",
+            POOLER_RESOLUTION=14,
+            POOLER_SAMPLING_RATIO=0,
+            CONV_DIMS=tuple(512 for _ in range(8)),
+            NUM_KEYPOINTS=17,
+            MIN_KEYPOINTS_PER_IMAGE=1,
+            NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS=True,
+            LOSS_WEIGHT=1.0,
+            POOLER_TYPE="ROIAlignV2",
+        ),
+        SEM_SEG_HEAD=dict(
+            NAME="SemSegFPNHead",
+            IN_FEATURES=["p2", "p3", "p4", "p5"],
+            IGNORE_VALUE=255,
+            NUM_CLASSES=54,
+            CONVS_DIM=128,
+            COMMON_STRIDE=4,
+            NORM="GN",
+            LOSS_WEIGHT=1.0,
+        ),
+        PANOPTIC_FPN=dict(
+            INSTANCE_LOSS_WEIGHT=1.0,
+            COMBINE=dict(
+                ENABLED=True,
+                OVERLAP_THRESH=0.5,
+                STUFF_AREA_LIMIT=4096,
+                INSTANCES_CONFIDENCE_THRESH=0.5,
+            ),
+        ),
+        RETINANET=dict(
+            NUM_CLASSES=80,
+            IN_FEATURES=["p3", "p4", "p5", "p6", "p7"],
+            NUM_CONVS=4,
+            IOU_THRESHOLDS=[0.4, 0.5],
+            IOU_LABELS=[0, -1, 1],
+            PRIOR_PROB=0.01,
+            SCORE_THRESH_TEST=0.05,
+            TOPK_CANDIDATES_TEST=1000,
+            NMS_THRESH_TEST=0.5,
+            BBOX_REG_WEIGHTS=(1.0, 1.0, 1.0, 1.0),
+            FOCAL_LOSS_GAMMA=2.0,
+            FOCAL_LOSS_ALPHA=0.25,
+            SMOOTH_L1_LOSS_BETA=0.1,
+        ),
+        RESNETS=dict(
+            DEPTH=50,
+            OUT_FEATURES=["res4"],
+            NUM_GROUPS=1,
+            NORM="FrozenBN",
+            WIDTH_PER_GROUP=64,
+            STRIDE_IN_1X1=True,
+            RES5_DILATION=1,
+            RES2_OUT_CHANNELS=256,
+            STEM_OUT_CHANNELS=64,
+            DEFORM_ON_PER_STAGE=[False, False, False, False],
+            DEFORM_MODULATED=False,
+            DEFORM_NUM_GROUPS=1,
+        ),
+    ),
+    INPUT=dict(
+        MIN_SIZE_TRAIN=(800,),
+        MIN_SIZE_TRAIN_SAMPLING="choice",
+        MAX_SIZE_TRAIN=1333,
+        MIN_SIZE_TEST=800,
+        MAX_SIZE_TEST=1333,
+        CROP=dict(
+            ENABLED=False,
+            TYPE="relative_range",
+            SIZE=[0.9, 0.9],
+        ),
+        FORMAT="BGR",
+        MASK_FORMAT="polygon",
+        # Fork additions (reference defaults.py:82-84): overfit-experiment switches.
+        RANDOM_FLIPPING=True,
+        RESIZING=True,
+    ),
+    DATASETS=dict(
+        TRAIN=(),
+        PROPOSAL_FILES_TRAIN=(),
+        PRECOMPUTED_PROPOSAL_TOPK_TRAIN=2000,
+        TEST=(),
+        PROPOSAL_FILES_TEST=(),
+        PRECOMPUTED_PROPOSAL_TOPK_TEST=1000,
+    ),
+    DATALOADER=dict(
+        NUM_WORKERS=4,
+        ASPECT_RATIO_GROUPING=True,
+        SAMPLER_TRAIN="TrainingSampler",
+        REPEAT_THRESHOLD=0.0,
+        FILTER_EMPTY_ANNOTATIONS=True,
+    ),
+    SOLVER=dict(
+        LR_SCHEDULER_NAME="WarmupMultiStepLR",
+        MAX_ITER=40000,
+        BASE_LR=0.001,
+        MOMENTUM=0.9,
+        WEIGHT_DECAY=_WEIGHT_DECAY,
+        WEIGHT_DECAY_NORM=0.0,
+        GAMMA=0.1,
+        STEPS=(30000,),
+        WARMUP_FACTOR=1.0 / 1000,
+        WARMUP_ITERS=1000,
+        WARMUP_METHOD="linear",
+        CHECKPOINT_PERIOD=5000,
+        IMS_PER_BATCH=16,
+        BIAS_LR_FACTOR=1.0,
+        WEIGHT_DECAY_BIAS=_WEIGHT_DECAY,
+    ),
+    TEST=dict(
+        EXPECTED_RESULTS=[],
+        EVAL_PERIOD=0,
+        KEYPOINT_OKS_SIGMAS=[],
+        DETECTIONS_PER_IMAGE=100,
+        AUG=dict(
+            ENABLED=False,
+            MIN_SIZES=(400, 500, 600, 700, 800, 900, 1000, 1100, 1200),
+            MAX_SIZE=4000,
+            FLIP=True,
+        ),
+        PRECISE_BN=dict(
+            ENABLED=False,
+            NUM_ITER=200,
+        ),
+    ),
+    OUTPUT_DIR="./output",
+    SEED=-1,
+    CUDNN_BENCHMARK=False,  # accepted for config compatibility; no-op on TPU
+    GLOBAL=dict(HACK=1.0),
+    # ------------------------------------------------------------------ #
+    # TPU-native additions (no reference equivalent): static-shape policy,
+    # mixed precision and the device mesh for jit-sharded data parallelism.
+    # ------------------------------------------------------------------ #
+    TPU=dict(
+        # Compute dtype for conv/matmul ("bfloat16" or "float32"); params and
+        # losses are always float32.
+        COMPUTE_DTYPE="bfloat16",
+        # Padded static shapes: every train image is resized/padded into one of
+        # these (H, W) buckets to bound XLA recompilation.
+        IMAGE_BUCKETS=[[800, 1344], [1344, 800], [1024, 1024]],
+        # Maximum ground-truth instances per image (padded with validity mask).
+        MAX_GT_PER_IMAGE=100,
+        # Device mesh axis names/sizes; -1 means "all available devices".
+        MESH_AXES=["data"],
+        MESH_SHAPE=[-1],
+        # Host-side prefetch depth for the input pipeline.
+        PREFETCH=2,
+        # Donate input buffers to the jitted train step.
+        DONATE=True,
+    ),
+)
+
+
+_C = CN(_DEFAULTS)
