@@ -183,6 +183,7 @@ class CfgNode(dict):
                 )
             )
         if loaded_ver != latest:
+            dict.__setitem__(loaded, "VERSION", loaded_ver)
             loaded = compat.upgrade_config(loaded, to_version=latest)
         self.merge_from_other_cfg(loaded)
 
