@@ -1,0 +1,217 @@
+"""ResNet / ResNeXt backbone in flax.linen (NHWC, bf16-friendly).
+
+Parity with detectron2/modeling/backbone/resnet.py:31-479 (``BasicStem``,
+``BottleneckBlock``, stage construction, ``build_resnet_backbone``): depths
+18/34 are unsupported exactly as in the reference; R-50/101/152 with ResNeXt
+groups, DC5 dilation, STRIDE_IN_1X1 and FREEZE_AT are all honored.
+
+TPU design notes: convolutions run in ``dtype`` (bfloat16 by default) with
+float32 parameters; stage freezing is functional — frozen stages run under
+``jax.lax.stop_gradient`` so their parameters receive zero gradient (the
+solver additionally masks them out of weight decay).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...layers import ShapeSpec
+from ...layers.norms import FrozenBatchNorm, get_norm
+from ..build import BACKBONE_REGISTRY
+
+# MSRAFill / caffe2 conv init: kaiming-normal with fan_out
+conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+class ConvNorm(nn.Module):
+    """Conv2D + optional norm (no activation)."""
+
+    features: int
+    kernel: Tuple[int, int]
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    norm: str = "FrozenBN"
+    use_bias: Optional[bool] = None
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        use_bias = self.use_bias if self.use_bias is not None else (self.norm == "")
+        pad = ((self.kernel[0] - 1) // 2 * self.dilation, (self.kernel[1] - 1) // 2 * self.dilation)
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel,
+            strides=(self.stride, self.stride),
+            padding=(pad, pad),
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            use_bias=use_bias,
+            kernel_init=conv_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        norm = get_norm(self.norm, self.features)
+        if norm is not None:
+            x = norm(x)
+        return x
+
+
+class BasicStem(nn.Module):
+    """7x7 stride-2 conv + 3x3 stride-2 maxpool (stride 4 total)."""
+
+    out_channels: int = 64
+    norm: str = "FrozenBN"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvNorm(self.out_channels, (7, 7), stride=2, norm=self.norm, dtype=self.dtype, name="stem_conv1")(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(kernel=3, stride=2, padding=1)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        return x
+
+
+class BottleneckBlock(nn.Module):
+    in_channels: int
+    out_channels: int
+    bottleneck_channels: int
+    stride: int = 1
+    num_groups: int = 1
+    norm: str = "FrozenBN"
+    stride_in_1x1: bool = True
+    dilation: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        stride_1x1, stride_3x3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+
+        out = ConvNorm(self.bottleneck_channels, (1, 1), stride=stride_1x1, norm=self.norm, dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(out)
+        out = ConvNorm(
+            self.bottleneck_channels,
+            (3, 3),
+            stride=stride_3x3,
+            dilation=self.dilation,
+            groups=self.num_groups,
+            norm=self.norm,
+            dtype=self.dtype,
+            name="conv2",
+        )(out)
+        out = nn.relu(out)
+        out = ConvNorm(self.out_channels, (1, 1), norm=self.norm, dtype=self.dtype, name="conv3")(out)
+
+        if self.in_channels != self.out_channels or self.stride != 1:
+            shortcut = ConvNorm(self.out_channels, (1, 1), stride=self.stride, norm=self.norm, dtype=self.dtype, name="shortcut")(x)
+        else:
+            shortcut = x
+        return nn.relu(out + shortcut)
+
+
+class ResNet(nn.Module):
+    """Configurable ResNet trunk returning a dict of stage features."""
+
+    stage_blocks: Sequence[int]  # blocks per stage, e.g. (3, 4, 6, 3)
+    out_features: Sequence[str]  # subset of {"stem", "res2".."res5"}
+    num_groups: int = 1
+    width_per_group: int = 64
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    stride_in_1x1: bool = True
+    res5_dilation: int = 1
+    norm: str = "FrozenBN"
+    freeze_at: int = 0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        outputs: Dict[str, jnp.ndarray] = {}
+        x = BasicStem(self.stem_out_channels, self.norm, self.dtype, name="stem")(x)
+        if self.freeze_at >= 1:
+            x = jax.lax.stop_gradient(x)
+        if "stem" in self.out_features:
+            outputs["stem"] = x
+
+        in_channels = self.stem_out_channels
+        out_channels = self.res2_out_channels
+        bottleneck_channels = self.num_groups * self.width_per_group
+
+        for idx, num_blocks in enumerate(self.stage_blocks):
+            stage_idx = idx + 2  # res2..res5
+            name = "res{}".format(stage_idx)
+            dilation = self.res5_dilation if stage_idx == 5 else 1
+            first_stride = 1 if idx == 0 or (stage_idx == 5 and dilation == 2) else 2
+            for b in range(num_blocks):
+                x = BottleneckBlock(
+                    in_channels=in_channels,
+                    out_channels=out_channels,
+                    bottleneck_channels=bottleneck_channels,
+                    stride=first_stride if b == 0 else 1,
+                    num_groups=self.num_groups,
+                    norm=self.norm,
+                    stride_in_1x1=self.stride_in_1x1,
+                    dilation=dilation,
+                    dtype=self.dtype,
+                    name="{}_block{}".format(name, b),
+                )(x)
+                in_channels = out_channels
+            if self.freeze_at >= stage_idx:
+                x = jax.lax.stop_gradient(x)
+            if name in self.out_features:
+                outputs[name] = x
+            in_channels = out_channels
+            out_channels *= 2
+            bottleneck_channels *= 2
+        return outputs
+
+    # -- static metadata ----------------------------------------------------
+    def output_shape(self) -> Dict[str, ShapeSpec]:
+        strides = {"stem": 4, "res2": 4, "res3": 8, "res4": 16, "res5": 32}
+        if self.res5_dilation == 2:
+            strides["res5"] = 16
+        channels = {"stem": self.stem_out_channels}
+        c = self.res2_out_channels
+        for i in range(4):
+            channels["res{}".format(i + 2)] = c
+            c *= 2
+        return {
+            f: ShapeSpec(channels=channels[f], stride=strides[f]) for f in self.out_features
+        }
+
+    @property
+    def size_divisibility(self) -> int:
+        return 32
+
+
+_DEPTH_TO_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+@BACKBONE_REGISTRY.register()
+def build_resnet_backbone(cfg, input_shape: ShapeSpec = None) -> ResNet:
+    """Create a ResNet from config (reference resnet.py:405-479)."""
+    depth = cfg.MODEL.RESNETS.DEPTH
+    if depth not in _DEPTH_TO_BLOCKS:
+        raise ValueError("Unsupported RESNETS.DEPTH: {} (50/101/152)".format(depth))
+    if any(cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE):
+        raise NotImplementedError("Deformable conv stages land with the deform_conv Pallas op")
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    return ResNet(
+        stage_blocks=_DEPTH_TO_BLOCKS[depth],
+        out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
+        num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+        width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+        stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
+        res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        res5_dilation=cfg.MODEL.RESNETS.RES5_DILATION,
+        norm=cfg.MODEL.RESNETS.NORM,
+        freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        dtype=dtype,
+    )
