@@ -1,14 +1,26 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
 Multi-chip hardware is not available in CI; sharding/collective correctness is
-validated on 8 virtual CPU devices (SURVEY.md section 2e TPU note).  These env
-vars must be set before jax is imported anywhere.
+validated on 8 virtual CPU devices (SURVEY.md section 2e TPU note).  The axon
+sitecustomize registers the TPU backend at interpreter start and pins
+``jax_platforms``, so we override it back to CPU here, before any test
+imports jax.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:
+    pass
