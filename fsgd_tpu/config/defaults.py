@@ -249,6 +249,9 @@ _DEFAULTS = dict(
         IMAGE_BUCKETS=[[800, 1344], [1344, 800], [1024, 1024]],
         # Maximum ground-truth instances per image (padded with validity mask).
         MAX_GT_PER_IMAGE=100,
+        # GT instance bitmasks are shipped at input_resolution / GT_MASK_STRIDE
+        # and cropped on device (replaces host-side polygon rasterization).
+        GT_MASK_STRIDE=4,
         # Device mesh axis names/sizes; -1 means "all available devices".
         MESH_AXES=["data"],
         MESH_SHAPE=[-1],

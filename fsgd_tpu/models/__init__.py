@@ -20,7 +20,10 @@ from .backbone.resnet import ResNet, build_resnet_backbone
 from .backbone.fpn import FPN, build_resnet_fpn_backbone, build_retinanet_resnet_fpn_backbone
 from .postprocessing import detector_postprocess, scale_detections, sem_seg_postprocess
 
-# importing meta_arch registers the architectures
+# importing these modules populates the component registries
+from . import proposal_generator  # noqa: F401
+from . import roi_heads  # noqa: F401
 from . import meta_arch  # noqa: F401
+from .poolers import ROIPooler
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]

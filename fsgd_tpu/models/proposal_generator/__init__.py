@@ -1,0 +1,3 @@
+from .rpn import RPN, StandardRPNHead
+
+__all__ = ["RPN", "StandardRPNHead"]

@@ -1,0 +1,119 @@
+"""Mask R-CNN head and loss.
+
+Parity with detectron2/modeling/roi_heads/mask_head.py:20-205
+(``MaskRCNNConvUpsampleHead``: N conv3x3 + deconv2x + 1x1 predictor;
+``mask_rcnn_loss``: per-fg-class BCE against 28x28 GT crops;
+``mask_rcnn_inference``: per-class sigmoid probabilities).
+
+TPU redesign of the GT path: the reference rasterizes GT *polygons* on CPU
+inside the loss (PolygonMasks.crop_and_resize) — a host sync per step.  Here
+the data pipeline ships per-instance GT *bitmasks* at a fixed sub-resolution
+and the crop is an on-device ``roi_align`` (this is the bitmask path the
+reference also supports via INPUT.MASK_FORMAT=bitmask).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.losses import sigmoid_cross_entropy
+from ...ops.roi_align import roi_align
+from ..build import ROI_MASK_HEAD_REGISTRY
+
+msra_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+@ROI_MASK_HEAD_REGISTRY.register()
+class MaskRCNNConvUpsampleHead(nn.Module):
+    num_conv: int
+    conv_dim: int
+    num_classes: int
+    cls_agnostic: bool = False
+    norm: str = ""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (N, PH, PW, C) -> (N, 2*PH, 2*PW, K) mask logits
+        for i in range(self.num_conv):
+            x = nn.Conv(
+                self.conv_dim,
+                (3, 3),
+                padding=((1, 1), (1, 1)),
+                kernel_init=msra_init,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="mask_fcn{}".format(i + 1),
+            )(x)
+            x = nn.relu(x)
+        x = nn.ConvTranspose(
+            self.conv_dim,
+            (2, 2),
+            strides=(2, 2),
+            kernel_init=msra_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="deconv",
+        )(x)
+        x = nn.relu(x)
+        num_out = 1 if self.cls_agnostic else self.num_classes
+        x = nn.Conv(
+            num_out,
+            (1, 1),
+            kernel_init=nn.initializers.normal(0.001),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="predictor",
+        )(x)
+        return x.astype(jnp.float32)
+
+
+def crop_gt_masks(gt_masks: jnp.ndarray, boxes: jnp.ndarray, mask_stride: float, mask_size: int):
+    """Crop per-roi GT bitmasks to (N, M, M) via roi_align.
+
+    gt_masks: (N, MH, MW) float/bool per-roi full-image masks (already gathered
+    for the matched gt), stored at 1/mask_stride of input resolution.
+    boxes: (N, 4) in input coordinates.
+    """
+    n = boxes.shape[0]
+    rois = jnp.concatenate([jnp.arange(n, dtype=boxes.dtype)[:, None], boxes], axis=1)
+    feats = gt_masks[..., None].astype(jnp.float32)  # (N, MH, MW, 1)
+    out = roi_align(feats, rois, (mask_size, mask_size), 1.0 / mask_stride, 2, True)
+    return out[..., 0]
+
+
+def mask_rcnn_loss(
+    mask_logits: jnp.ndarray,  # (N, M, M, K) or (N, M, M, 1)
+    gt_classes: jnp.ndarray,  # (N,)
+    gt_mask_crops: jnp.ndarray,  # (N, M, M) float in [0, 1]
+    fg_valid: jnp.ndarray,  # (N,)
+) -> jnp.ndarray:
+    """Per-fg-class BCE, mean over fg pixels (reference mask_head.py:20-94)."""
+    n, m = mask_logits.shape[0], mask_logits.shape[1]
+    k = mask_logits.shape[-1]
+    if k == 1:
+        per_class = mask_logits[..., 0]
+    else:
+        idx = jnp.clip(gt_classes, 0, k - 1)
+        per_class = jnp.take_along_axis(
+            mask_logits, idx[:, None, None, None], axis=-1
+        )[..., 0]  # (N, M, M)
+    targets = (gt_mask_crops >= 0.5).astype(jnp.float32)
+    el = sigmoid_cross_entropy(per_class, targets)
+    denom = jnp.maximum(jnp.sum(fg_valid) * m * m, 1)
+    return jnp.sum(jnp.where(fg_valid[:, None, None], el, 0.0)) / denom
+
+
+def mask_rcnn_inference(mask_logits: jnp.ndarray, pred_classes: jnp.ndarray) -> jnp.ndarray:
+    """Select each detection's class channel and sigmoid -> (N, M, M) probs."""
+    k = mask_logits.shape[-1]
+    if k == 1:
+        sel = mask_logits[..., 0]
+    else:
+        idx = jnp.clip(pred_classes, 0, k - 1)
+        sel = jnp.take_along_axis(mask_logits, idx[:, None, None, None], axis=-1)[..., 0]
+    return jax.nn.sigmoid(sel)
