@@ -296,7 +296,14 @@ class RetinaNet(DetectorBase):
         gt_deltas = jax.lax.stop_gradient(gt_deltas)
         mask = self.get_picky_ground_truth(anchors_cat, batch)
         losses = self.losses(gt_classes, gt_deltas, logits, deltas)
-        preds = {"pred_class_logits": logits, "pred_proposal_deltas": deltas}
+        preds = {
+            "pred_class_logits": logits,
+            "pred_proposal_deltas": deltas,
+            # per-level NHWC maps for the gambler (reference passes the raw
+            # per-level head outputs to LayeredUnetGambler)
+            "pred_class_logits_levels": box_cls,
+            "pred_proposal_deltas_levels": box_delta,
+        }
         return images, preds, gt_classes, mask, losses
 
     def loss_fn(self, params, batch, rng=None):
