@@ -140,6 +140,7 @@ class TestGANTrainer:
 
         gam_before = jax.tree_util.tree_leaves(trainer.gam_state.params)[0].copy()
         det_before = jax.tree_util.tree_leaves(trainer.det_state.params)[0].copy()
+        det_params_before_tree = jax.tree.map(lambda x: x.copy(), trainer.det_state.params)
 
         with EventStorage() as storage:
             trainer.storage = storage
@@ -153,8 +154,15 @@ class TestGANTrainer:
 
             trainer.run_step()  # D phase (counters reset after the last D iter)
             assert trainer.iter_D == 0 and trainer.iter_G == 0
-            det_after = jax.tree_util.tree_leaves(trainer.det_state.params)[0]
-            assert not np.allclose(np.asarray(det_before), np.asarray(det_after))
+            # detector must have moved somewhere (first leaf may be frozen BN)
+            diff = sum(
+                float(jnp.sum(jnp.abs(a - b)))
+                for a, b in zip(
+                    jax.tree_util.tree_leaves(det_params_before_tree),
+                    jax.tree_util.tree_leaves(trainer.det_state.params),
+                )
+            )
+            assert diff > 0
 
             hist = storage.histories()
             assert "loss_gambler" in hist and "loss_detector" in hist
