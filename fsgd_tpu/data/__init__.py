@@ -1,0 +1,11 @@
+from .build import (
+    build_detection_test_loader,
+    build_detection_train_loader,
+    get_detection_dataset_dicts,
+    print_instances_class_histogram,
+    to_native_batch,
+)
+from .catalog import DatasetCatalog, Metadata, MetadataCatalog
+from .dataset_mapper import DatasetMapper
+
+__all__ = [k for k in globals().keys() if not k.startswith("_")]
