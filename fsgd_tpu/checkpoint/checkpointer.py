@@ -48,7 +48,10 @@ class Checkpointer:
         """Dump all checkpointables plus scalar kwargs to ``<name>.ckpt``."""
         if not self.save_to_disk:
             return
-        data = {k: _to_numpy_tree(v) for k, v in self.checkpointables.items()}
+        # to_state_dict turns optax NamedTuple states into plain nested dicts
+        data = {
+            k: serialization.to_state_dict(_to_numpy_tree(v)) for k, v in self.checkpointables.items()
+        }
         data["__extra__"] = dict(kwargs)
         os.makedirs(self.save_dir, exist_ok=True)
         basename = "{}.ckpt".format(name)
