@@ -204,6 +204,13 @@ def to_native_batch(
                 n = min(k.shape[0], max_gt)
                 kpts[i, :n] = k[:n]
         batch["gt_keypoints"] = kpts
+    if any("sem_seg" in x for x in mapped):
+        sem = np.full((len(mapped), bucket[0], bucket[1]), 255, np.int32)
+        for i, x in enumerate(mapped):
+            if "sem_seg" in x:
+                s = np.asarray(x["sem_seg"])
+                sem[i, : s.shape[0], : s.shape[1]] = s
+        batch["gt_sem_seg"] = sem
     return batch
 
 

@@ -1,0 +1,92 @@
+"""Builtin dataset registration (parity with detectron2/data/datasets/builtin.py:121-249).
+
+Registers the standard COCO / LVIS / Cityscapes / Pascal VOC splits under
+``$FSGD_DATASETS`` (default ``./datasets``) at import time.  Registration is
+lazy — annotation files are only read when a dataset is actually used.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .builtin_meta import _get_builtin_metadata
+from .cityscapes import register_cityscapes
+from .coco import register_coco_instances
+from .lvis import get_lvis_instances_meta, register_lvis_instances
+from .pascal_voc import register_pascal_voc
+
+_PREDEFINED_SPLITS_COCO = {
+    "coco_2017_train": ("coco/train2017", "coco/annotations/instances_train2017.json"),
+    "coco_2017_val": ("coco/val2017", "coco/annotations/instances_val2017.json"),
+    "coco_2017_test": ("coco/test2017", "coco/annotations/image_info_test2017.json"),
+    "coco_2017_val_100": ("coco/val2017", "coco/annotations/instances_val2017_100.json"),
+    "coco_2014_train": ("coco/train2014", "coco/annotations/instances_train2014.json"),
+    "coco_2014_val": ("coco/val2014", "coco/annotations/instances_val2014.json"),
+    "coco_2014_minival": ("coco/val2014", "coco/annotations/instances_minival2014.json"),
+    "coco_2014_valminusminival": ("coco/val2014", "coco/annotations/instances_valminusminival2014.json"),
+}
+
+_PREDEFINED_SPLITS_COCO_PERSON = {
+    "keypoints_coco_2017_train": ("coco/train2017", "coco/annotations/person_keypoints_train2017.json"),
+    "keypoints_coco_2017_val": ("coco/val2017", "coco/annotations/person_keypoints_val2017.json"),
+    "keypoints_coco_2017_val_100": ("coco/val2017", "coco/annotations/person_keypoints_val2017_100.json"),
+}
+
+_PREDEFINED_SPLITS_LVIS = {
+    "lvis_v0.5_train": ("coco/train2017", "lvis/lvis_v0.5_train.json"),
+    "lvis_v0.5_val": ("coco/val2017", "lvis/lvis_v0.5_val.json"),
+    "lvis_v0.5_val_rand_100": ("coco/val2017", "lvis/lvis_v0.5_val_rand_100.json"),
+}
+
+
+def register_all_coco(root):
+    for key, (image_root, json_file) in _PREDEFINED_SPLITS_COCO.items():
+        register_coco_instances(
+            key,
+            _get_builtin_metadata("coco"),
+            os.path.join(root, json_file),
+            os.path.join(root, image_root),
+        )
+    for key, (image_root, json_file) in _PREDEFINED_SPLITS_COCO_PERSON.items():
+        register_coco_instances(
+            key,
+            _get_builtin_metadata("coco_person"),
+            os.path.join(root, json_file),
+            os.path.join(root, image_root),
+        )
+
+
+def register_all_lvis(root):
+    for key, (image_root, json_file) in _PREDEFINED_SPLITS_LVIS.items():
+        register_lvis_instances(
+            key,
+            get_lvis_instances_meta(key),
+            os.path.join(root, json_file),
+            os.path.join(root, image_root),
+        )
+
+
+def register_all_cityscapes(root):
+    for split in ["train", "val", "test"]:
+        register_cityscapes(
+            "cityscapes_fine_instance_seg_{}".format(split),
+            os.path.join(root, "cityscapes/leftImg8bit/{}".format(split)),
+            os.path.join(root, "cityscapes/gtFine/{}".format(split)),
+            instances=True,
+        )
+
+
+def register_all_pascal_voc(root):
+    for year in ("2007", "2012"):
+        for split in (["trainval", "train", "val", "test"] if year == "2007" else ["trainval", "train", "val"]):
+            name = "voc_{}_{}".format(year, split)
+            register_pascal_voc(name, os.path.join(root, "VOC{}".format(year)), split, year)
+
+
+_root = os.getenv("FSGD_DATASETS", os.getenv("DETECTRON2_DATASETS", "datasets"))
+register_all_coco(_root)
+register_all_lvis(_root)
+register_all_cityscapes(_root)
+register_all_pascal_voc(_root)
+# register_all_ssigns intentionally not auto-registered (matches the
+# reference, where the call is commented out in builtin.py)

@@ -1,0 +1,65 @@
+"""Pascal VOC dataset loading (parity with detectron2/data/datasets/pascal_voc.py:25-93)."""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from ...structures import BoxMode
+from ..catalog import DatasetCatalog, MetadataCatalog
+
+__all__ = ["load_voc_instances", "register_pascal_voc", "CLASS_NAMES"]
+
+CLASS_NAMES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+
+
+def load_voc_instances(dirname: str, split: str):
+    """dirname: VOC20XX root with Annotations/, ImageSets/, JPEGImages/."""
+    with open(os.path.join(dirname, "ImageSets", "Main", split + ".txt")) as f:
+        fileids = np.loadtxt(f, dtype=str)
+
+    dicts = []
+    for fileid in fileids:
+        anno_file = os.path.join(dirname, "Annotations", fileid + ".xml")
+        jpeg_file = os.path.join(dirname, "JPEGImages", fileid + ".jpg")
+        tree = ET.parse(anno_file)
+        r = {
+            "file_name": jpeg_file,
+            "image_id": fileid,
+            "height": int(tree.findall("./size/height")[0].text),
+            "width": int(tree.findall("./size/width")[0].text),
+        }
+        instances = []
+        for obj in tree.findall("object"):
+            cls = obj.find("name").text
+            difficult = int(obj.find("difficult").text)
+            if difficult == 1:
+                continue
+            bbox = obj.find("bndbox")
+            bbox = [float(bbox.find(x).text) for x in ["xmin", "ymin", "xmax", "ymax"]]
+            # VOC coordinates are 1-indexed pixel indices
+            bbox[0] -= 1.0
+            bbox[1] -= 1.0
+            instances.append(
+                {"category_id": CLASS_NAMES.index(cls), "bbox": bbox, "bbox_mode": BoxMode.XYXY_ABS}
+            )
+        r["annotations"] = instances
+        dicts.append(r)
+    return dicts
+
+
+def register_pascal_voc(name, dirname, split, year):
+    DatasetCatalog.register(name, lambda: load_voc_instances(dirname, split))
+    MetadataCatalog.get(name).set(
+        thing_classes=list(CLASS_NAMES),
+        dirname=dirname,
+        year=year,
+        split=split,
+        evaluator_type="pascal_voc",
+    )

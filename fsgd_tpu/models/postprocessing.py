@@ -13,7 +13,7 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..structures import Boxes, Instances
+from ..structures import Boxes, Instances, RotatedBoxes
 
 __all__ = ["detector_postprocess", "scale_detections", "sem_seg_postprocess"]
 
@@ -28,6 +28,17 @@ def scale_detections(dets: Dict[str, jnp.ndarray], image_size: jnp.ndarray, out_
     """
     scale_y = out_size[:, 0].astype(jnp.float32) / jnp.maximum(image_size[:, 0].astype(jnp.float32), 1.0)
     scale_x = out_size[:, 1].astype(jnp.float32) / jnp.maximum(image_size[:, 1].astype(jnp.float32), 1.0)
+
+    if dets["boxes"].shape[-1] == 5:  # rotated boxes: anisotropic scale per RotatedBoxes.scale
+        import jax
+
+        def scale_one(b, sx, sy):
+            return RotatedBoxes(b).scale(sx, sy).tensor
+
+        out = dict(dets)
+        out["boxes"] = jax.vmap(scale_one)(dets["boxes"], scale_x, scale_y)
+        return out
+
     s = jnp.stack([scale_x, scale_y, scale_x, scale_y], axis=-1)[:, None, :]  # (B, 1, 4)
     boxes = dets["boxes"] * s
     # clip to the output canvas

@@ -118,6 +118,24 @@ class RPN:
             dtype=dtype,
         )
 
+
+    # -- box-type hooks (overridden by RRPN for rotated boxes) ---------------
+    def _pairwise_iou(self, gt_boxes, anchors):
+        return pairwise_iou(gt_boxes, anchors)
+
+    def _clip_boxes(self, boxes, image_size):
+        return Boxes(boxes).clip((image_size[0], image_size[1])).tensor
+
+    def _nonempty(self, boxes):
+        wh = jnp.stack([boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]], -1)
+        return jnp.all(wh > self.min_box_side_len, axis=-1)
+
+    def _nms(self, boxes, scores, valid):
+        return nms_mask(boxes, scores, self.nms_thresh, valid=valid)
+
+    def _inside_image(self, anchors_cat, image_size, thresh):
+        return Boxes(anchors_cat).inside_box((image_size[0], image_size[1]), thresh)
+
     def init_params(self, rng, feature_shapes: Sequence[Tuple[int, int, int]]):
         dummy = [jnp.zeros((1, h, w, c), jnp.float32) for (h, w, c) in feature_shapes]
         return self.head_module.init(rng, dummy)["params"]
@@ -127,13 +145,11 @@ class RPN:
         """(B, R) labels in {-1, 0, 1} after resampling + (B, R, 4) deltas."""
 
         def per_image(gt_boxes, gt_valid, image_size, rng_i):
-            quality = pairwise_iou(gt_boxes, anchors_cat)
+            quality = self._pairwise_iou(gt_boxes, anchors_cat)
             matched_idxs, labels = self.anchor_matcher(quality, gt_valid)
             labels = labels.astype(jnp.int32)
             if self.boundary_threshold >= 0:
-                inside = Boxes(anchors_cat).inside_box(
-                    (image_size[0], image_size[1]), self.boundary_threshold
-                )
+                inside = self._inside_image(anchors_cat, image_size, self.boundary_threshold)
                 labels = jnp.where(inside, labels, -1)
             deltas = self.box2box_transform.get_deltas(anchors_cat, gt_boxes[matched_idxs])
             # resample: everything outside the sample becomes ignore (-1)
@@ -184,10 +200,9 @@ class RPN:
                 boxes = self.box2box_transform.apply_deltas(
                     deltas_i.reshape(-1, self.box_dim)[top_idx], anchors_i.tensor[top_idx]
                 )
-                boxes = Boxes(boxes).clip((image_size[0], image_size[1])).tensor
-                wh = jnp.stack([boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]], -1)
-                nonempty = jnp.all(wh > self.min_box_side_len, axis=-1)
-                keep = nms_mask(boxes, top_scores, self.nms_thresh, valid=nonempty)
+                boxes = self._clip_boxes(boxes, image_size)
+                nonempty = self._nonempty(boxes)
+                keep = self._nms(boxes, top_scores, nonempty)
                 all_boxes.append(boxes)
                 all_scores.append(top_scores)
                 all_valid.append(keep)
@@ -217,7 +232,7 @@ class RPN:
 
         losses = {}
         if training:
-            anchors_cat = Boxes.cat(anchors).tensor
+            anchors_cat = jnp.concatenate([a.tensor for a in anchors], axis=0)
             gt_labels, gt_deltas = self.get_ground_truth(anchors_cat, batch, rng)
             gt_labels = jax.lax.stop_gradient(gt_labels)
             gt_deltas = jax.lax.stop_gradient(gt_deltas)

@@ -86,11 +86,15 @@ class ROIHeads:
         self.max_fg = max(int(self.batch_size_per_image * self.positive_fraction), 1)
         self.dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
 
+        self.box_dim = 4
         self.proposal_matcher = Matcher(
             cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS,
             cfg.MODEL.ROI_HEADS.IOU_LABELS,
             allow_low_quality_matches=False,
         )
+
+    def _pairwise_iou(self, gt_boxes, boxes):
+        return pairwise_iou(gt_boxes, boxes)
 
     def label_and_sample_proposals(self, proposals: Dict, batch: Dict, rng) -> Dict:
         """Vmapped equivalent of reference roi_heads.py:196-280.
@@ -103,7 +107,7 @@ class ROIHeads:
             proposals = add_ground_truth_to_proposals(proposals, batch)
 
         def per_image(boxes, box_valid, gt_boxes, gt_classes, gt_valid, rng_i):
-            quality = pairwise_iou(gt_boxes, boxes)  # (G, P)
+            quality = self._pairwise_iou(gt_boxes, boxes)  # (G, P)
             # padded proposals must not match anything
             quality = jnp.where(box_valid[None, :], quality, -1.0)
             matched_idxs, matched_labels = self.proposal_matcher(quality, gt_valid)
@@ -242,8 +246,8 @@ class StandardROIHeads(ROIHeads):
             self.box2box_transform,
             logits,
             deltas,
-            sampled["boxes"].reshape(b * s, 4),
-            gt_boxes_matched.reshape(b * s, 4),
+            sampled["boxes"].reshape(b * s, self.box_dim),
+            gt_boxes_matched.reshape(b * s, self.box_dim),
             sampled["gt_classes"].reshape(b * s),
             sampled["valid"].reshape(b * s),
             self.smooth_l1_beta,
@@ -300,7 +304,7 @@ class StandardROIHeads(ROIHeads):
         logits, deltas = self._box_forward(params, feats, boxes_in)
         probs = predict_probs(logits).reshape(b, p, -1)
         decoded = predict_boxes(
-            self.box2box_transform, deltas, boxes_in.reshape(b * p, 4)
+            self.box2box_transform, deltas, boxes_in.reshape(b * p, self.box_dim)
         ).reshape(b, p, -1, 4)
         dets = fast_rcnn_inference_batched(
             decoded,
