@@ -228,6 +228,22 @@ class DefaultTrainer(SimpleTrainer):
         evaluator_type = MetadataCatalog.get(dataset_name).get("evaluator_type", "coco")
         if evaluator_type == "coco":
             return COCOEvaluator(dataset_name, cfg, True, output_dir=cfg.OUTPUT_DIR)
+        if evaluator_type == "lvis":
+            from ..evaluation import LVISEvaluator
+
+            return LVISEvaluator(dataset_name, cfg, True, output_dir=cfg.OUTPUT_DIR)
+        if evaluator_type == "pascal_voc":
+            from ..evaluation import PascalVOCDetectionEvaluator
+
+            return PascalVOCDetectionEvaluator(dataset_name)
+        if evaluator_type == "sem_seg":
+            from ..evaluation import SemSegEvaluator
+
+            return SemSegEvaluator(dataset_name, True, output_dir=cfg.OUTPUT_DIR)
+        if evaluator_type == "cityscapes":
+            from ..evaluation import CityscapesEvaluator
+
+            return CityscapesEvaluator(dataset_name, output_dir=cfg.OUTPUT_DIR)
         raise NotImplementedError(
             "No evaluator implemented for dataset {} of type {}".format(dataset_name, evaluator_type)
         )
