@@ -1,0 +1,89 @@
+"""Model zoo: config-path -> pretrained-weights mapping.
+
+Parity with detectron2/model_zoo/model_zoo.py:11-138 (``ModelZooUrls``,
+``get_config_file``, ``get_checkpoint_url``, ``get``).  The reference resolves
+``detectron2://`` URLs to the public S3 bucket; this environment has no
+network egress, so URLs resolve to local paths under ``$FSGD_MODEL_ZOO``
+(falling back to the canonical public URL string for documentation purposes).
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["ModelZooUrls", "get_config_file", "get_checkpoint_url", "get"]
+
+_BASE_URL = "https://dl.fbaipublicfiles.com/detectron2"
+_CONFIG_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "configs")
+
+
+class ModelZooUrls:
+    """Config path (relative to configs/) -> zoo weight file suffix."""
+
+    CONFIG_PATH_TO_URL_SUFFIX = {
+        "COCO-Detection/faster_rcnn_R_50_C4_1x.yaml": "137257644/model_final_721ade.pkl",
+        "COCO-Detection/faster_rcnn_R_50_DC5_1x.yaml": "137847829/model_final_51d356.pkl",
+        "COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml": "137257794/model_final_b275ba.pkl",
+        "COCO-Detection/faster_rcnn_R_50_C4_3x.yaml": "137849393/model_final_f97cb7.pkl",
+        "COCO-Detection/faster_rcnn_R_50_DC5_3x.yaml": "137849425/model_final_68d202.pkl",
+        "COCO-Detection/faster_rcnn_R_50_FPN_3x.yaml": "137849458/model_final_280758.pkl",
+        "COCO-Detection/faster_rcnn_R_101_C4_3x.yaml": "138204752/model_final_298dad.pkl",
+        "COCO-Detection/faster_rcnn_R_101_DC5_3x.yaml": "138204841/model_final_3e0943.pkl",
+        "COCO-Detection/faster_rcnn_R_101_FPN_3x.yaml": "137851257/model_final_f6e8b1.pkl",
+        "COCO-Detection/faster_rcnn_X_101_32x8d_FPN_3x.yaml": "139173657/model_final_68b088.pkl",
+        "COCO-Detection/retinanet_R_50_FPN_1x.yaml": "137593951/model_final_b796dc.pkl",
+        "COCO-Detection/retinanet_R_50_FPN_3x.yaml": "137849486/model_final_4cafe0.pkl",
+        "COCO-Detection/retinanet_R_101_FPN_3x.yaml": "138363263/model_final_59f53c.pkl",
+        "COCO-Detection/rpn_R_50_C4_1x.yaml": "137258005/model_final_450694.pkl",
+        "COCO-Detection/rpn_R_50_FPN_1x.yaml": "137258492/model_final_02ce48.pkl",
+        "COCO-Detection/fast_rcnn_R_50_FPN_1x.yaml": "137635226/model_final_e5f7ce.pkl",
+        "COCO-InstanceSegmentation/mask_rcnn_R_50_C4_1x.yaml": "137259246/model_final_9243eb.pkl",
+        "COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml": "137260431/model_final_a54504.pkl",
+        "COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_3x.yaml": "137849600/model_final_f10217.pkl",
+        "COCO-InstanceSegmentation/mask_rcnn_R_101_FPN_3x.yaml": "138205316/model_final_a3ec72.pkl",
+        "COCO-Keypoints/keypoint_rcnn_R_50_FPN_1x.yaml": "137261548/model_final_04e291.pkl",
+        "COCO-Keypoints/keypoint_rcnn_R_50_FPN_3x.yaml": "137849621/model_final_a6e10b.pkl",
+        "COCO-PanopticSegmentation/panoptic_fpn_R_50_1x.yaml": "139514544/model_final_dbfeb4.pkl",
+        "COCO-PanopticSegmentation/panoptic_fpn_R_50_3x.yaml": "139514569/model_final_c10459.pkl",
+        "LVIS-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml": "144219072/model_final_571f7c.pkl",
+    }
+
+
+def get_config_file(config_path: str) -> str:
+    cfg_file = os.path.join(_CONFIG_ROOT, config_path)
+    if not os.path.exists(cfg_file):
+        raise RuntimeError("{} not available in configs!".format(config_path))
+    return cfg_file
+
+
+def get_checkpoint_url(config_path: str) -> str:
+    """Local zoo path when $FSGD_MODEL_ZOO is set, else the public URL."""
+    if config_path not in ModelZooUrls.CONFIG_PATH_TO_URL_SUFFIX:
+        raise RuntimeError("{} not available in Model Zoo!".format(config_path))
+    suffix = ModelZooUrls.CONFIG_PATH_TO_URL_SUFFIX[config_path]
+    local_root = os.environ.get("FSGD_MODEL_ZOO")
+    if local_root:
+        name = config_path.replace(".yaml", "")
+        return os.path.join(local_root, name, suffix)
+    return "{}/{}/{}".format(_BASE_URL, config_path.replace(".yaml", ""), suffix)
+
+
+def get(config_path: str, trained: bool = False):
+    """Build the model described by a zoo config; optionally load zoo weights."""
+    import jax
+
+    from ..checkpoint import Checkpointer
+    from ..config import get_cfg
+    from ..models import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file(get_config_file(config_path))
+    if trained:
+        cfg.MODEL.WEIGHTS = get_checkpoint_url(config_path)
+    model = build_model(cfg)
+    model.params = model.init_params(jax.random.PRNGKey(0), image_size=tuple(cfg.TPU.IMAGE_BUCKETS[0]))
+    if trained and os.path.exists(cfg.MODEL.WEIGHTS):
+        checkpointer = Checkpointer(model=model.params)
+        checkpointer.load(cfg.MODEL.WEIGHTS)
+        model.params = checkpointer.checkpointables["model"]
+    return model

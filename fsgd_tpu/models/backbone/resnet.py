@@ -115,11 +115,79 @@ class BottleneckBlock(nn.Module):
         return nn.relu(out + shortcut)
 
 
+
+class DeformBottleneckBlock(nn.Module):
+    """Bottleneck with (modulated) deformable conv2
+    (reference resnet.py DeformBottleneckBlock; op in fsgd_tpu/ops/deform_conv.py)."""
+
+    in_channels: int
+    out_channels: int
+    bottleneck_channels: int
+    stride: int = 1
+    num_groups: int = 1
+    norm: str = "FrozenBN"
+    stride_in_1x1: bool = True
+    dilation: int = 1
+    deform_modulated: bool = False
+    deform_num_groups: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from ...layers.norms import get_norm
+        from ...ops.deform_conv import deform_conv2d
+
+        stride_1x1, stride_3x3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+        out = ConvNorm(self.bottleneck_channels, (1, 1), stride=stride_1x1, norm=self.norm, dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(out)
+
+        # offset (+ modulation mask) predictor: zero-init so the block starts
+        # as a plain conv (reference behavior)
+        g = self.deform_num_groups
+        offset_channels = g * 9 * (3 if self.deform_modulated else 2)
+        offsets_raw = nn.Conv(
+            offset_channels, (3, 3), strides=(stride_3x3, stride_3x3),
+            padding=((self.dilation,) * 2, (self.dilation,) * 2),
+            kernel_dilation=(self.dilation, self.dilation),
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            param_dtype=jnp.float32, name="conv2_offset",
+        )(out.astype(jnp.float32))
+        if self.deform_modulated:
+            o = offsets_raw.reshape(*offsets_raw.shape[:3], g, 9, 3)
+            offset = o[..., :2].reshape(*offsets_raw.shape[:3], g * 9 * 2)
+            mask = jax.nn.sigmoid(o[..., 2]).reshape(*offsets_raw.shape[:3], g * 9)
+        else:
+            offset, mask = offsets_raw, None
+
+        weight = self.param(
+            "conv2_kernel", conv_init, (3, 3, self.bottleneck_channels, self.bottleneck_channels), jnp.float32
+        )
+        out = deform_conv2d(
+            out.astype(jnp.float32), offset, weight, stride=stride_3x3,
+            padding=self.dilation, dilation=self.dilation,
+            deform_groups=g, mask=mask,
+        ).astype(self.dtype)
+        norm2 = get_norm(self.norm, self.bottleneck_channels)
+        if norm2 is not None:
+            out = norm2(out)
+        out = nn.relu(out)
+        out = ConvNorm(self.out_channels, (1, 1), norm=self.norm, dtype=self.dtype, name="conv3")(out)
+
+        if self.in_channels != self.out_channels or self.stride != 1:
+            shortcut = ConvNorm(self.out_channels, (1, 1), stride=self.stride, norm=self.norm, dtype=self.dtype, name="shortcut")(x)
+        else:
+            shortcut = x
+        return nn.relu(out + shortcut)
+
+
 class ResNet(nn.Module):
     """Configurable ResNet trunk returning a dict of stage features."""
 
     stage_blocks: Sequence[int]  # blocks per stage, e.g. (3, 4, 6, 3)
     out_features: Sequence[str]  # subset of {"stem", "res2".."res5"}
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = False
+    deform_num_groups: int = 1
     num_groups: int = 1
     width_per_group: int = 64
     stem_out_channels: int = 64
@@ -148,8 +216,15 @@ class ResNet(nn.Module):
             name = "res{}".format(stage_idx)
             dilation = self.res5_dilation if stage_idx == 5 else 1
             first_stride = 1 if idx == 0 or (stage_idx == 5 and dilation == 2) else 2
+            use_deform = self.deform_on_per_stage[idx]
+            block_cls = DeformBottleneckBlock if use_deform else BottleneckBlock
+            extra = (
+                dict(deform_modulated=self.deform_modulated, deform_num_groups=self.deform_num_groups)
+                if use_deform
+                else {}
+            )
             for b in range(num_blocks):
-                x = BottleneckBlock(
+                x = block_cls(
                     in_channels=in_channels,
                     out_channels=out_channels,
                     bottleneck_channels=bottleneck_channels,
@@ -160,6 +235,7 @@ class ResNet(nn.Module):
                     dilation=dilation,
                     dtype=self.dtype,
                     name="{}_block{}".format(name, b),
+                    **extra,
                 )(x)
                 in_channels = out_channels
             if self.freeze_at >= stage_idx:
@@ -199,8 +275,6 @@ def build_resnet_backbone(cfg, input_shape: ShapeSpec = None) -> ResNet:
     depth = cfg.MODEL.RESNETS.DEPTH
     if depth not in _DEPTH_TO_BLOCKS:
         raise ValueError("Unsupported RESNETS.DEPTH: {} (50/101/152)".format(depth))
-    if any(cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE):
-        raise NotImplementedError("Deformable conv stages land with the deform_conv Pallas op")
     dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     return ResNet(
         stage_blocks=_DEPTH_TO_BLOCKS[depth],
@@ -213,5 +287,8 @@ def build_resnet_backbone(cfg, input_shape: ShapeSpec = None) -> ResNet:
         res5_dilation=cfg.MODEL.RESNETS.RES5_DILATION,
         norm=cfg.MODEL.RESNETS.NORM,
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        deform_on_per_stage=tuple(cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE),
+        deform_modulated=cfg.MODEL.RESNETS.DEFORM_MODULATED,
+        deform_num_groups=cfg.MODEL.RESNETS.DEFORM_NUM_GROUPS,
         dtype=dtype,
     )

@@ -27,3 +27,5 @@ from .rotated_iou import pairwise_iou_rotated
 from .sampling import subsample_labels, subsample_labels_mask
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]
+from .deform_conv import deform_conv2d
+from .swap_align2nat import swap_align2nat
