@@ -73,6 +73,10 @@ class ROIPooler:
         # adaptive grid here cuts gather volume 16x vs the generic default.
         self.max_grid = 2
         self.roi_chunk = 512
+        # packed-pyramid windowed-matmul path (see ops/roi_align_packed.py);
+        # window must cover a roi's cell span at its assigned level
+        self.use_packed = True
+        self.window = 48
 
     def __call__(self, features: List[jnp.ndarray], boxes: jnp.ndarray) -> jnp.ndarray:
         """
@@ -114,6 +118,25 @@ class ROIPooler:
             sqrt_area = jnp.sqrt(jnp.maximum(w * h, 0))
             lvl = jnp.floor(self.canonical_level + jnp.log2(sqrt_area / self.canonical_box_size + 1e-8))
             levels = jnp.clip(lvl, self.min_level, self.max_level).astype(jnp.int32)
+
+        if not rotated and self.use_packed:
+            # production path: packed-pyramid windowed-matmul ROIAlign
+            from ..ops.roi_align_packed import roi_align_packed
+
+            strides = tuple(int(round(1.0 / s)) for s in self.scales)
+            grid = self.sampling_ratio if self.sampling_ratio > 0 else self.max_grid
+            out = roi_align_packed(
+                tuple(features),
+                boxes[..., :4],
+                (levels - self.min_level).reshape(b, p),
+                strides,
+                self.output_size,
+                grid=grid,
+                window=self.window,
+                aligned=aligned,
+                roi_chunk=self.roi_chunk,
+            )
+            return out
 
         out = None
         for i, (feat, scale) in enumerate(zip(features, self.scales)):

@@ -1,0 +1,200 @@
+"""ROIAlign as windowed separable matmuls over a packed feature pyramid.
+
+The gather formulation of ROIAlign (roi_align.py) is exact but lowers to
+millions of random 256-channel gathers — HBM-unfriendly and ~25x off
+speed-of-light on TPU.  This module is the TPU-native production path:
+
+1. All FPN levels are packed into ONE (B, R_total, W_max, C) buffer (levels
+   stacked along rows with zero separator rows).
+2. Each roi reads a *static-size* (Wd, Wd, C) window via ``dynamic_slice`` —
+   a contiguous DMA, not a gather.
+3. Bilinear ROIAlign is separable: pooled = Wy @ window @ Wx^T where
+   Wy (P, Wd) / Wx (P, Wd) carry each output bin's per-row/column
+   interpolation weights (sample average folded in).  Two small matmuls per
+   roi run on the MXU.
+
+Exactness: identical to ROIAlignV2 whenever the roi's span at its assigned
+level fits in the window (guaranteed by FPN's canonical level assignment for
+aspect ratios up to Wd/pool_size; pathological slivers clamp to the window
+edge).  Border semantics follow the reference (clamp into [0, size-1], drop
+samples beyond +-1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["pack_feature_pyramid", "roi_align_packed"]
+
+
+def pack_feature_pyramid(features: List[jnp.ndarray], window: int):
+    """Stack per-level NHWC maps along rows with ``window`` zero rows of
+    separation/padding per level.
+
+    Returns (packed (B, R, Wmax, C), row_offsets (L,), heights (L,), widths (L,)).
+    """
+    b = features[0].shape[0]
+    c = features[0].shape[-1]
+    w_max = max(f.shape[2] for f in features)
+    offsets, heights, widths = [], [], []
+    rows = 0
+    padded = []
+    for f in features:
+        h, w = f.shape[1], f.shape[2]
+        offsets.append(rows)
+        heights.append(h)
+        widths.append(w)
+        block_rows = h + window  # zero tail so windows never read the next level
+        pf = jnp.pad(f, ((0, 0), (0, block_rows - h), (0, w_max - w + window), (0, 0)))
+        padded.append(pf)
+        rows += block_rows
+    packed = jnp.concatenate(padded, axis=1)
+    return packed, np.asarray(offsets), np.asarray(heights), np.asarray(widths)
+
+
+def _interp_weights(samples: jnp.ndarray, valid: jnp.ndarray, start: jnp.ndarray, size: jnp.ndarray, window: int):
+    """Per-bin linear-interpolation weights onto window rows.
+
+    samples: (P, S) continuous coords (level-local); valid: (P, S) sample
+    validity; start: scalar window origin; size: scalar level extent.
+    Returns (P, window) weights (already averaged over samples).
+    """
+    # reference border semantics: coords in [-1, size] clamp into [0, size-1]
+    s = jnp.clip(samples, 0.0, jnp.maximum(size - 1.0, 0.0))
+    rows = jnp.arange(window, dtype=jnp.float32)[None, None, :]  # (1, 1, Wd)
+    local = s[..., None] - start  # (P, S, 1) - broadcast -> (P, S, Wd)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(local - rows))
+    w = w * valid[..., None]
+    return jnp.sum(w, axis=1)  # (P, Wd); caller divides by the sample count
+
+
+def _roi_chunk_packed(
+    packed, batch_idx, boxes, levels,
+    row_offsets, heights, widths, scales,
+    ph, pw, grid, window, aligned,
+):
+    """Pool one chunk of rois. boxes (N, 4) xyxy input coords; levels (N,)."""
+    n = boxes.shape[0]
+    c = packed.shape[-1]
+
+    scale = scales[levels]  # (N,)
+    h_l = heights[levels].astype(jnp.float32)
+    w_l = widths[levels].astype(jnp.float32)
+    row0 = row_offsets[levels]
+
+    offset = 0.5 if aligned else 0.0
+    x1 = boxes[:, 0] * scale - offset
+    y1 = boxes[:, 1] * scale - offset
+    x2 = boxes[:, 2] * scale - offset
+    y2 = boxes[:, 3] * scale - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    bin_h = roi_h / ph
+    bin_w = roi_w / pw
+
+    s = grid
+    iy = jnp.arange(s, dtype=jnp.float32)
+    bins_y = jnp.arange(ph, dtype=jnp.float32)
+    bins_x = jnp.arange(pw, dtype=jnp.float32)
+    # (N, P, S) sample coords
+    sy = y1[:, None, None] + bins_y[None, :, None] * bin_h[:, None, None] + (
+        iy[None, None, :] + 0.5
+    ) * (bin_h[:, None, None] / s)
+    sx = x1[:, None, None] + bins_x[None, :, None] * bin_w[:, None, None] + (
+        iy[None, None, :] + 0.5
+    ) * (bin_w[:, None, None] / s)
+    vy = (sy > -1.0) & (sy < h_l[:, None, None])
+    vx = (sx > -1.0) & (sx < w_l[:, None, None])
+
+    # window origins (level-local), clamped so the window stays in the block
+    wy0 = jnp.clip(jnp.floor(y1), 0.0, jnp.maximum(h_l - 1.0, 0.0)).astype(jnp.int32)
+    wx0 = jnp.clip(jnp.floor(x1), 0.0, jnp.maximum(w_l - 1.0, 0.0)).astype(jnp.int32)
+
+    # (N, P, Wd) interpolation weight banks, batched (no per-roi vmap)
+    wy = jax.vmap(_interp_weights, in_axes=(0, 0, 0, 0, None))(
+        sy, vy.astype(jnp.float32), wy0.astype(jnp.float32), h_l, window
+    )
+    wx = jax.vmap(_interp_weights, in_axes=(0, 0, 0, 0, None))(
+        sx, vx.astype(jnp.float32), wx0.astype(jnp.float32), w_l, window
+    )
+
+    # ONE gather of contiguous (Wd, Wd, C) windows: its transpose is a single
+    # fused scatter-add into the packed buffer (a vmapped dynamic_slice would
+    # instead materialize a per-roi cotangent of the whole buffer)
+    start_indices = jnp.stack([batch_idx, row0 + wy0, wx0], axis=1)  # (N, 3)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,), start_index_map=(0, 1, 2)
+    )
+    windows = jax.lax.gather(
+        packed, start_indices, dnums, slice_sizes=(1, window, window, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (N, Wd, Wd, C)
+
+    out = jnp.einsum(
+        "npw,nwvc->npvc", wy, windows.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum("npvc,nqv->npqc", out, wx, preferred_element_type=jnp.float32)
+    return out / (s * s)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("output_size", "grid", "window", "aligned", "roi_chunk", "strides"),
+)
+def roi_align_packed(
+    features_tuple: Tuple[jnp.ndarray, ...],
+    boxes: jnp.ndarray,  # (B, P, 4) xyxy
+    levels: jnp.ndarray,  # (B, P) int32 index into the level list
+    strides: Tuple[int, ...],
+    output_size: Tuple[int, int],
+    grid: int = 2,
+    window: int = 48,
+    aligned: bool = True,
+    roi_chunk: int = 512,
+) -> jnp.ndarray:
+    """Multi-level ROIAlign over a packed pyramid.
+
+    Returns (B, P, PH, PW, C).
+    """
+    ph, pw = output_size
+    b, p = boxes.shape[:2]
+    packed, row_offsets, heights, widths = pack_feature_pyramid(list(features_tuple), window)
+    row_offsets = jnp.asarray(row_offsets, jnp.int32)
+    heights_a = jnp.asarray(heights, jnp.int32)
+    widths_a = jnp.asarray(widths, jnp.int32)
+    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+
+    flat_boxes = boxes.reshape(b * p, 4)
+    flat_levels = levels.reshape(b * p)
+    batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+
+    n = b * p
+    chunk = min(roi_chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        flat_boxes = jnp.pad(flat_boxes, ((0, pad), (0, 0)))
+        flat_levels = jnp.pad(flat_levels, (0, pad))
+        batch_idx = jnp.pad(batch_idx, (0, pad))
+
+    def run(args):
+        bi, bx, lv = args
+        return _roi_chunk_packed(
+            packed, bi, bx, lv, row_offsets, heights_a, widths_a, scales,
+            ph, pw, grid, window, aligned,
+        )
+
+    chunks = (
+        batch_idx.reshape(-1, chunk),
+        flat_boxes.reshape(-1, chunk, 4),
+        flat_levels.reshape(-1, chunk),
+    )
+    out = jax.lax.map(run, chunks)
+    return out.reshape(-1, ph, pw, packed.shape[-1])[: b * p].reshape(b, p, ph, pw, -1)
