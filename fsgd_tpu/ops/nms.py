@@ -76,6 +76,12 @@ def _nms_from_iou(iou: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     return keep
 
 
+def _use_pallas() -> bool:
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
 def nms_mask(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -83,10 +89,23 @@ def nms_mask(
     valid: Optional[jnp.ndarray] = None,
     max_rounds: int = 0,
 ) -> jnp.ndarray:
-    """Exact greedy NMS; returns a (N,) bool keep mask.  Jittable."""
+    """Exact greedy NMS; returns a (N,) bool keep mask.  Jittable.
+
+    On TPU this runs the fused VMEM-resident Pallas kernel
+    (ops/pallas_nms.py); elsewhere the parallel-iteration lax formulation.
+    """
     n = boxes.shape[0]
     if n == 0:
         return jnp.zeros((0,), dtype=bool)
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    if _use_pallas():
+        from .pallas_nms import nms_sorted_pallas
+
+        neg_inf_scores = jnp.where(valid, scores, -jnp.inf)
+        order = jnp.argsort(-neg_inf_scores, stable=True)
+        keep_sorted = nms_sorted_pallas(boxes[order], valid[order], iou_threshold)
+        return jnp.zeros((n,), bool).at[order].set(keep_sorted)
     iou = pairwise_iou(boxes, boxes)
     return _nms_from_iou(iou, scores, iou_threshold, valid, max_rounds or n)
 

@@ -314,3 +314,27 @@ class TestLosses:
         np.testing.assert_allclose(out, [0.0, 0.0125, 0.45, 1.95], atol=1e-6)
         out_l1 = np.asarray(smooth_l1_loss(x, t, beta=0.0))
         np.testing.assert_allclose(out_l1, [0, 0.05, 0.5, 2.0], atol=1e-6)
+
+
+class TestPallasNMS:
+    def test_interpret_matches_greedy(self):
+        """The Pallas kernel (interpret mode on CPU) is bit-identical to greedy."""
+        import jax.numpy as jnp
+
+        from fsgd_tpu.ops.pallas_nms import nms_sorted_pallas
+
+        rng = np.random.RandomState(5)
+        n = 150
+        ctr = rng.rand(n, 2) * 40
+        wh = rng.rand(n, 2) * 15 + 2
+        boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], axis=1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        order = np.argsort(-scores, kind="stable")
+        sboxes = boxes[order]
+        keep = np.asarray(
+            nms_sorted_pallas(jnp.asarray(sboxes), jnp.ones(n, bool), 0.5, interpret=True)
+        )
+        expected = _greedy_nms_reference(sboxes, scores[order], 0.5)
+        ref_mask = np.zeros(n, bool)
+        ref_mask[expected] = True
+        np.testing.assert_array_equal(keep, ref_mask)
