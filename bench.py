@@ -38,7 +38,7 @@ def main():
     on_tpu = jax.default_backend() != "cpu"
     # 800x1344 is the reference's train bucket (800 short side / 1333 max)
     h, w = (800, 1344) if on_tpu else (128, 128)
-    batch = 4 if on_tpu else 2
+    batch = 8 if on_tpu else 2
     max_gt = 64 if on_tpu else 8
 
     cfg, model = _build_faster_rcnn((h, w), "bfloat16" if on_tpu else "float32", max_gt)

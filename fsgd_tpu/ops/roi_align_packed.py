@@ -6,12 +6,17 @@ speed-of-light on TPU.  This module is the TPU-native production path:
 
 1. All FPN levels are packed into ONE (B, R_total, W_max, C) buffer (levels
    stacked along rows with zero separator rows).
-2. Each roi reads a *static-size* (Wd, Wd, C) window via ``dynamic_slice`` —
-   a contiguous DMA, not a gather.
+2. Each roi reads a *static-size* (Wd, Wd, C) window — a contiguous DMA, not
+   a gather.
 3. Bilinear ROIAlign is separable: pooled = Wy @ window @ Wx^T where
    Wy (P, Wd) / Wx (P, Wd) carry each output bin's per-row/column
    interpolation weights (sample average folded in).  Two small matmuls per
    roi run on the MXU.
+
+On TPU the window read + contraction run as ONE fused Pallas kernel
+(ops/pallas_roi_align.py: per-roi DMA into VMEM, matmuls, write the pooled
+tile — no materialized windows); elsewhere an XLA gather + batched einsum
+computes the same thing.
 
 Exactness: identical to ROIAlignV2 whenever the roi's span at its assigned
 level fits in the window (guaranteed by FPN's canonical level assignment for
@@ -50,7 +55,9 @@ def pack_feature_pyramid(features: List[jnp.ndarray], window: int):
         heights.append(h)
         widths.append(w)
         block_rows = h + window  # zero tail so windows never read the next level
-        pf = jnp.pad(f, ((0, 0), (0, block_rows - h), (0, w_max - w + window), (0, 0)))
+        # +8 column slack: window column origins are rounded down to sublane
+        # (8) multiples for the Pallas DMA
+        pf = jnp.pad(f, ((0, 0), (0, block_rows - h), (0, w_max - w + window + 8), (0, 0)))
         padded.append(pf)
         rows += block_rows
     packed = jnp.concatenate(padded, axis=1)
@@ -62,27 +69,25 @@ def _interp_weights(samples: jnp.ndarray, valid: jnp.ndarray, start: jnp.ndarray
 
     samples: (P, S) continuous coords (level-local); valid: (P, S) sample
     validity; start: scalar window origin; size: scalar level extent.
-    Returns (P, window) weights (already averaged over samples).
+    Returns (P, window) weights (sum over samples; caller averages).
     """
-    # reference border semantics: coords in [-1, size] clamp into [0, size-1]
     s = jnp.clip(samples, 0.0, jnp.maximum(size - 1.0, 0.0))
     rows = jnp.arange(window, dtype=jnp.float32)[None, None, :]  # (1, 1, Wd)
-    local = s[..., None] - start  # (P, S, 1) - broadcast -> (P, S, Wd)
+    local = s[..., None] - start  # (P, S, 1) -> (P, S, Wd)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(local - rows))
     w = w * valid[..., None]
-    return jnp.sum(w, axis=1)  # (P, Wd); caller divides by the sample count
+    return jnp.sum(w, axis=1)  # (P, Wd)
 
 
-def _roi_chunk_packed(
-    packed, batch_idx, boxes, levels,
-    row_offsets, heights, widths, scales,
-    ph, pw, grid, window, aligned,
+def _window_meta(
+    batch_idx, boxes, levels, row_offsets, heights, widths, scales, ph, pw, grid, window, aligned
 ):
-    """Pool one chunk of rois. boxes (N, 4) xyxy input coords; levels (N,)."""
-    n = boxes.shape[0]
-    c = packed.shape[-1]
+    """Vectorized per-roi window origins + interpolation banks.
 
-    scale = scales[levels]  # (N,)
+    Returns starts (N, 3) int32, wy (N, PH, Wd), wx (N, PW, Wd); wy carries
+    the 1/grid^2 sample average.
+    """
+    scale = scales[levels]
     h_l = heights[levels].astype(jnp.float32)
     w_l = widths[levels].astype(jnp.float32)
     row0 = row_offsets[levels]
@@ -104,7 +109,6 @@ def _roi_chunk_packed(
     iy = jnp.arange(s, dtype=jnp.float32)
     bins_y = jnp.arange(ph, dtype=jnp.float32)
     bins_x = jnp.arange(pw, dtype=jnp.float32)
-    # (N, P, S) sample coords
     sy = y1[:, None, None] + bins_y[None, :, None] * bin_h[:, None, None] + (
         iy[None, None, :] + 0.5
     ) * (bin_h[:, None, None] / s)
@@ -114,35 +118,56 @@ def _roi_chunk_packed(
     vy = (sy > -1.0) & (sy < h_l[:, None, None])
     vx = (sx > -1.0) & (sx < w_l[:, None, None])
 
-    # window origins (level-local), clamped so the window stays in the block
     wy0 = jnp.clip(jnp.floor(y1), 0.0, jnp.maximum(h_l - 1.0, 0.0)).astype(jnp.int32)
     wx0 = jnp.clip(jnp.floor(x1), 0.0, jnp.maximum(w_l - 1.0, 0.0)).astype(jnp.int32)
+    # column origins rounded to sublane (8) multiples; the window is 8 wider
+    wx0 = (wx0 // 8) * 8
 
-    # (N, P, Wd) interpolation weight banks, batched (no per-roi vmap)
     wy = jax.vmap(_interp_weights, in_axes=(0, 0, 0, 0, None))(
         sy, vy.astype(jnp.float32), wy0.astype(jnp.float32), h_l, window
-    )
+    ) / (s * s)
     wx = jax.vmap(_interp_weights, in_axes=(0, 0, 0, 0, None))(
-        sx, vx.astype(jnp.float32), wx0.astype(jnp.float32), w_l, window
+        sx, vx.astype(jnp.float32), wx0.astype(jnp.float32), w_l, window + 8
     )
+    starts = jnp.stack([batch_idx, row0 + wy0, wx0], axis=1)
+    return starts, wy, wx
 
-    # ONE gather of contiguous (Wd, Wd, C) windows: its transpose is a single
-    # fused scatter-add into the packed buffer (a vmapped dynamic_slice would
-    # instead materialize a per-roi cotangent of the whole buffer)
-    start_indices = jnp.stack([batch_idx, row0 + wy0, wx0], axis=1)  # (N, 3)
+
+def _xla_windows(packed, starts, wy, wx, window, chunk):
+    """Gather windows + batched einsums (the non-Pallas fallback)."""
+    c = packed.shape[-1]
+    n = starts.shape[0]
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3), collapsed_slice_dims=(0,), start_index_map=(0, 1, 2)
     )
-    windows = jax.lax.gather(
-        packed, start_indices, dnums, slice_sizes=(1, window, window, c),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # (N, Wd, Wd, C)
 
-    out = jnp.einsum(
-        "npw,nwvc->npvc", wy, windows.astype(jnp.float32), preferred_element_type=jnp.float32
+    def run(args):
+        st, wy_c, wx_c = args
+        windows = jax.lax.gather(
+            packed, st, dnums, slice_sizes=(1, window, window + 8, c),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+        out = jnp.einsum(
+            "npw,nwvc->npvc", wy_c, windows.astype(jnp.float32), preferred_element_type=jnp.float32
+        )
+        return jnp.einsum("npvc,nqv->npqc", out, wx_c, preferred_element_type=jnp.float32)
+
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        starts = jnp.pad(starts, ((0, pad), (0, 0)))
+        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+    out = jax.lax.map(
+        run,
+        (
+            starts.reshape(-1, chunk, 3),
+            wy.reshape(-1, chunk, *wy.shape[1:]),
+            wx.reshape(-1, chunk, *wx.shape[1:]),
+        ),
     )
-    out = jnp.einsum("npvc,nqv->npqc", out, wx, preferred_element_type=jnp.float32)
-    return out / (s * s)
+    ph = wy.shape[1]
+    return out.reshape(-1, ph, ph, c)[:n]
 
 
 @partial(
@@ -160,11 +185,9 @@ def roi_align_packed(
     aligned: bool = True,
     roi_chunk: int = 512,
 ) -> jnp.ndarray:
-    """Multi-level ROIAlign over a packed pyramid.
-
-    Returns (B, P, PH, PW, C).
-    """
+    """Multi-level ROIAlign over a packed pyramid.  Returns (B, P, PH, PW, C)."""
     ph, pw = output_size
+    assert ph == pw, "square pooling only"
     b, p = boxes.shape[:2]
     packed, row_offsets, heights, widths = pack_feature_pyramid(list(features_tuple), window)
     row_offsets = jnp.asarray(row_offsets, jnp.int32)
@@ -172,29 +195,20 @@ def roi_align_packed(
     widths_a = jnp.asarray(widths, jnp.int32)
     scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
 
-    flat_boxes = boxes.reshape(b * p, 4)
+    flat_boxes = jax.lax.stop_gradient(boxes.reshape(b * p, 4))
     flat_levels = levels.reshape(b * p)
     batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
 
-    n = b * p
-    chunk = min(roi_chunk, n)
-    pad = (-n) % chunk
-    if pad:
-        flat_boxes = jnp.pad(flat_boxes, ((0, pad), (0, 0)))
-        flat_levels = jnp.pad(flat_levels, (0, pad))
-        batch_idx = jnp.pad(batch_idx, (0, pad))
-
-    def run(args):
-        bi, bx, lv = args
-        return _roi_chunk_packed(
-            packed, bi, bx, lv, row_offsets, heights_a, widths_a, scales,
-            ph, pw, grid, window, aligned,
-        )
-
-    chunks = (
-        batch_idx.reshape(-1, chunk),
-        flat_boxes.reshape(-1, chunk, 4),
-        flat_levels.reshape(-1, chunk),
+    starts, wy, wx = _window_meta(
+        batch_idx, flat_boxes, flat_levels,
+        row_offsets, heights_a, widths_a, scales,
+        ph, pw, grid, window, aligned,
     )
-    out = jax.lax.map(run, chunks)
-    return out.reshape(-1, ph, pw, packed.shape[-1])[: b * p].reshape(b, p, ph, pw, -1)
+
+    if jax.default_backend() == "tpu":
+        from .pallas_roi_align import roi_align_windows_pallas
+
+        out = roi_align_windows_pallas(packed, starts, wy, wx, window, ph)
+    else:
+        out = _xla_windows(packed, starts, wy, wx, window, roi_chunk)
+    return out.reshape(b, p, ph, pw, -1)
