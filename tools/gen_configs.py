@@ -286,3 +286,52 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def extra_families():
+    """Cityscapes / Detectron1-Comparisons / Misc families."""
+    w("Cityscapes/mask_rcnn_R_50_FPN.yaml",
+      {"_BASE_": "../Base-RCNN-FPN.yaml",
+       "MODEL": {"MASK_ON": True, "ROI_HEADS": {"NUM_CLASSES": 8}, **resnet(50)},
+       "DATASETS": {"TRAIN": ["cityscapes_fine_instance_seg_train"],
+                     "TEST": ["cityscapes_fine_instance_seg_val"]},
+       "INPUT": {"MIN_SIZE_TRAIN": [800, 832, 864, 896, 928, 960, 992, 1024],
+                  "MIN_SIZE_TEST": 1024, "MAX_SIZE_TRAIN": 2048, "MAX_SIZE_TEST": 2048},
+       "SOLVER": {"IMS_PER_BATCH": 8, "BASE_LR": 0.01, "STEPS": [18000], "MAX_ITER": 24000}})
+    for name, overrides in [
+        ("faster_rcnn_R_50_FPN_noaug_1x", {"INPUT": {"MIN_SIZE_TRAIN": [800]}}),
+        ("mask_rcnn_R_50_FPN_noaug_1x", {"MODEL": {"MASK_ON": True}, "INPUT": {"MIN_SIZE_TRAIN": [800]}}),
+    ]:
+        cfg = {"_BASE_": "../Base-RCNN-FPN.yaml", "MODEL": {"MASK_ON": False, **resnet(50)}}
+        for k, v in overrides.items():
+            cfg.setdefault(k, {}).update(v) if isinstance(v, dict) else cfg.update({k: v})
+        w("Detectron1-Comparisons/{}.yaml".format(name), cfg)
+    # Misc: deformable conv + cascade + GN variants
+    w("Misc/mask_rcnn_R_50_FPN_3x_dconv_c3-c5.yaml",
+      {"_BASE_": "../Base-RCNN-FPN.yaml",
+       "MODEL": {"MASK_ON": True, **resnet(50),
+                  "RESNETS": {"DEPTH": 50, "DEFORM_ON_PER_STAGE": [False, True, True, True],
+                               "DEFORM_MODULATED": False}},
+       "SOLVER": sched(3)})
+    w("Misc/cascade_mask_rcnn_R_50_FPN_3x.yaml",
+      {"_BASE_": "../Base-RCNN-FPN.yaml",
+       "MODEL": {"MASK_ON": True, **resnet(50),
+                  "ROI_HEADS": {"NAME": "CascadeROIHeads"},
+                  "ROI_BOX_HEAD": {"CLS_AGNOSTIC_BBOX_REG": True}},
+       "SOLVER": sched(3)})
+    w("Misc/mask_rcnn_R_50_FPN_3x_gn.yaml",
+      {"_BASE_": "../Base-RCNN-FPN.yaml",
+       "MODEL": {"MASK_ON": True, **resnet(50),
+                  "RESNETS": {"DEPTH": 50, "NORM": "GN", "STRIDE_IN_1X1": False},
+                  "FPN": {"NORM": "GN"},
+                  "ROI_BOX_HEAD": {"NORM": "GN", "NUM_CONV": 4, "NUM_FC": 1, "NAME": "FastRCNNConvFCHead"},
+                  "ROI_MASK_HEAD": {"NORM": "GN"}},
+       "SOLVER": sched(3)})
+    w("ssigns/faster_rcnn_R_50_FPN_crop320.yaml",
+      {"_BASE_": "../Base-RCNN-FPN.yaml",
+       "MODEL": {"MASK_ON": False, "ROI_HEADS": {"NUM_CLASSES": 9}, **resnet(50)},
+       "INPUT": {"CROP": {"ENABLED": True, "TYPE": "absolute", "SIZE": [320, 320]}},
+       "DATASETS": {"TRAIN": ["ssigns_train"], "TEST": ["ssigns_val"]}})
+
+
+extra_families()
