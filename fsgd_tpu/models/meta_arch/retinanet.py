@@ -253,6 +253,34 @@ class RetinaNet(DetectorBase):
         loss_box_reg = jnp.sum(jnp.where(foreground[:, None], reg_loss_el, 0.0)) / num_foreground
         return {"loss_cls": loss_cls, "loss_box_reg": loss_box_reg}
 
+    def softmax_cross_entropy_loss(self, gt_classes, pred_class_logits):
+        """Fork extra (reference retinanet.py:159-170): softmax CE over the
+        K classes with ignore_index=-1 semantics; background (K) contributes
+        through the extra column when logits carry K+1, else it is ignored."""
+        logits = pred_class_logits.reshape(-1, pred_class_logits.shape[-1])
+        gt = gt_classes.reshape(-1)
+        valid = (gt >= 0) & (gt < logits.shape[-1])
+        safe = jnp.where(valid, gt, 0)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(log_probs, safe[:, None].astype(jnp.int32), axis=-1)[:, 0]
+        return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+
+    def smooth_l1_loss_fork(self, gt_classes, gt_anchors_deltas, pred_anchor_deltas):
+        """Fork extra (reference retinanet.py:171-194): fg-only smooth-L1 / num_fg."""
+        gt = gt_classes.reshape(-1)
+        fg = (gt >= 0) & (gt != self.num_classes)
+        el = smooth_l1_loss(
+            pred_anchor_deltas.reshape(-1, 4), gt_anchors_deltas.reshape(-1, 4), self.smooth_l1_loss_beta
+        )
+        return jnp.sum(jnp.where(fg[:, None], el, 0.0)) / jnp.maximum(jnp.sum(fg), 1)
+
+    def ce_losses(self, gt_classes, gt_anchors_deltas, pred_class_logits, pred_anchor_deltas):
+        """Fork extra (reference retinanet.py:195-200)."""
+        return {
+            "loss_cls": self.softmax_cross_entropy_loss(gt_classes, pred_class_logits),
+            "loss_box_reg": self.smooth_l1_loss_fork(gt_classes, gt_anchors_deltas, pred_anchor_deltas),
+        }
+
     def sigmoid_loss(self, inputs, targets, weights, mode="none", alpha=-1.0, gamma=2.0, reduction="none"):
         """Weighted BCE/focal used by the gambler's detector objective
         (reference retinanet.py:250-307)."""

@@ -11,3 +11,4 @@ __all__ = [
     "TridentBottleneckBlock",
     "build_trident_resnet_backbone",
 ]
+from .trident_rcnn import TridentRCNN, merge_branch_instances

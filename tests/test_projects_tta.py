@@ -109,3 +109,40 @@ class TestModelZoo:
         assert "model_final" in url
         with pytest.raises(RuntimeError):
             model_zoo.get_checkpoint_url("nonexistent.yaml")
+
+
+@pytest.mark.slow
+class TestTridentRCNN:
+    def test_trident_train_and_infer(self):
+        from common import synthetic_batch
+        from fsgd_tpu.config import get_cfg
+        from fsgd_tpu.models import build_model
+        from fsgd_tpu.projects.tridentnet import add_tridentnet_config
+
+        cfg = get_cfg()
+        add_tridentnet_config(cfg)
+        cfg.MODEL.META_ARCHITECTURE = "TridentRCNN"
+        cfg.MODEL.BACKBONE.NAME = "build_trident_resnet_backbone"
+        cfg.MODEL.ROI_HEADS.NAME = "Res5ROIHeads"
+        cfg.MODEL.ROI_HEADS.IN_FEATURES = ["res4"]
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+        cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+        cfg.MODEL.RPN.IN_FEATURES = ["res4"]
+        cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 100
+        cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 50
+        cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 50
+        cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 20
+        cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.TPU.MAX_GT_PER_IMAGE = 6
+
+        import jax
+        import numpy as np
+
+        model = build_model(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), image_size=(64, 64))
+        batch = synthetic_batch(batch=2, h=64, w=64, max_gt=6, num_classes=4)
+        total, losses = model.loss_fn(params, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(total))
+        dets = model.inference_fn(params, batch)
+        assert dets["boxes"].shape[0] == 2  # merged back to the true batch
