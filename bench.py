@@ -29,7 +29,18 @@ def _build_faster_rcnn(image_hw, compute_dtype, max_gt):
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: the first 800x1344 compile takes ~8 min via
+    # the remote TPU compiler; subsequent bench runs reuse the executable
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
     from __graft_entry__ import _synthetic_batch
     from fsgd_tpu.parallel import create_train_state, make_train_step
