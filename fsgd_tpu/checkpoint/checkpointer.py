@@ -64,6 +64,10 @@ class Checkpointer:
 
     def load(self, path: str) -> Dict:
         """Load a checkpoint; returns the ``__extra__`` scalar dict."""
+        if path:
+            from .catalog import resolve_checkpoint_path
+
+            path = resolve_checkpoint_path(path)
         if not path or not os.path.isfile(path):
             self.logger.warning("No checkpoint found at %s; starting from scratch", path)
             return {}

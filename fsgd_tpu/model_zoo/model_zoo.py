@@ -80,10 +80,21 @@ def get(config_path: str, trained: bool = False):
     cfg.merge_from_file(get_config_file(config_path))
     if trained:
         cfg.MODEL.WEIGHTS = get_checkpoint_url(config_path)
+    path = None
+    if trained:
+        from ..checkpoint import resolve_checkpoint_path
+
+        path = resolve_checkpoint_path(cfg.MODEL.WEIGHTS)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                "model_zoo.get(trained=True): zoo weights not found at {!r}. "
+                "Set $FSGD_MODEL_ZOO to a local mirror of the detectron2 zoo; "
+                "refusing to return randomly initialized weights.".format(path)
+            )
     model = build_model(cfg)
     model.params = model.init_params(jax.random.PRNGKey(0), image_size=tuple(cfg.TPU.IMAGE_BUCKETS[0]))
-    if trained and os.path.exists(cfg.MODEL.WEIGHTS):
+    if path is not None:
         checkpointer = Checkpointer(model=model.params)
-        checkpointer.load(cfg.MODEL.WEIGHTS)
+        checkpointer.load(path)
         model.params = checkpointer.checkpointables["model"]
     return model

@@ -56,7 +56,9 @@ def test_retinanet_zoo_roundtrip(tmp_path):
 
     pkl = tmp_path / "zoo.pkl"
     with open(pkl, "wb") as f:
-        pickle.dump({"model": state}, f)
+        # real d2 zoo files carry __author__; without it the loader must (and
+        # does) assume Caffe2 naming — see test_c2_loading.py
+        pickle.dump({"model": state, "__author__": "Detectron2 Model Zoo"}, f)
 
     # fresh init, then load: must reproduce the original params exactly
     params2 = model.init_params(jax.random.PRNGKey(9), image_size=(64, 64))
