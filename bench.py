@@ -1,31 +1,115 @@
-"""Benchmark harness: the north-star Faster R-CNN R-50-FPN train step on one chip.
+"""Benchmark harness.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line (the north-star Faster R-CNN R-50-FPN train throughput):
+{"metric", "value", "unit", "vs_baseline"}.
 
-Baseline (BASELINE.md): the reference trains Faster R-CNN R-50-FPN at
-0.210 s/iter with global batch 16 on 8x V100 = 9.52 images/sec per V100 chip.
-``vs_baseline`` is our per-chip train img/s divided by that (the BASELINE.json
-target is >= 2x).
+Additionally measures RetinaNet / Mask R-CNN train and batched static-shape
+inference for all three, written to BENCH_DETAIL.json (one row per metric)
+and logged to stderr.
+
+Baselines (BASELINE.md, 8x V100 global batch 16):
+  train  — Faster R-CNN 0.210 s/it, Mask R-CNN 0.261 s/it, RetinaNet 0.200 s/it
+           -> per-chip img/s = 16 / s_it / 8
+  infer  — Faster R-CNN 0.055 s/img, Mask R-CNN 0.053, RetinaNet 0.062 (1 V100)
+The BASELINE.json target is >= 2x per chip on the train north-star.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
+V100_BASELINES = {
+    "faster_rcnn_r50fpn_train": 16 / 0.210 / 8,
+    "mask_rcnn_r50fpn_train": 16 / 0.261 / 8,
+    "retinanet_r50fpn_train": 16 / 0.200 / 8,
+    "faster_rcnn_r50fpn_infer": 1 / 0.055,
+    "mask_rcnn_r50fpn_infer": 1 / 0.053,
+    "retinanet_r50fpn_infer": 1 / 0.062,
+}
 
-def _build_faster_rcnn(image_hw, compute_dtype, max_gt):
+CONFIGS = {
+    "faster_rcnn_r50fpn": "configs/COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml",
+    "mask_rcnn_r50fpn": "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
+    "retinanet_r50fpn": "configs/COCO-Detection/retinanet_R_50_FPN_1x.yaml",
+}
+
+
+def _build(name, image_hw, compute_dtype, max_gt):
     from fsgd_tpu.config import get_cfg
     from fsgd_tpu.models import build_model
 
     cfg = get_cfg()
-    cfg.merge_from_file("configs/COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml")
+    cfg.merge_from_file(CONFIGS[name])
     cfg.DATASETS.TRAIN = ()
     cfg.DATASETS.TEST = ()
+    cfg.MODEL.WEIGHTS = ""
     cfg.TPU.COMPUTE_DTYPE = compute_dtype
     cfg.TPU.MAX_GT_PER_IMAGE = max_gt
     cfg.TPU.IMAGE_BUCKETS = [list(image_hw)]
     return cfg, build_model(cfg)
+
+
+def _batch(name, batch, h, w, max_gt):
+    from __graft_entry__ import _synthetic_batch
+
+    np_batch = _synthetic_batch(batch, h, w, max_gt=max_gt, seed=0)
+    if name.startswith("mask_rcnn"):
+        stride = 4
+        masks = np.zeros((batch, max_gt, h // stride, w // stride), np.float32)
+        for i in range(batch):
+            for j in range(max_gt):
+                if np_batch["gt_valid"][i, j]:
+                    x1, y1, x2, y2 = np_batch["gt_boxes"][i, j] / stride
+                    masks[i, j, int(y1): int(y2) + 1, int(x1): int(x2) + 1] = 1.0
+        np_batch["gt_masks"] = masks
+    return np_batch
+
+
+def bench_train(name, h, w, batch, max_gt, compute, iters):
+    import jax
+
+    from fsgd_tpu.parallel import create_train_state, make_train_step
+    from fsgd_tpu.solver import build_optimizer
+
+    cfg, model = _build(name, (h, w), compute, max_gt)
+    params = model.init_params(jax.random.PRNGKey(0), image_size=(h, w))
+    optimizer = build_optimizer(cfg, params)
+    state = create_train_state(params, optimizer)
+    step = make_train_step(model.loss_fn, optimizer, mesh=None, donate=True)
+
+    device_batch = jax.tree.map(jax.device_put, _batch(name, batch, h, w, max_gt))
+    state, metrics = step(state, device_batch, jax.random.PRNGKey(0))  # compile
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, device_batch, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+    del state, params
+    return batch * iters / dt
+
+
+def bench_infer(name, h, w, batch, compute, iters):
+    import jax
+
+    cfg, model = _build(name, (h, w), compute, max_gt=8)
+    params = model.init_params(jax.random.PRNGKey(0), image_size=(h, w))
+    fwd = jax.jit(model.inference_fn)
+
+    device_batch = jax.tree.map(jax.device_put, _batch(name, batch, h, w, 8))
+    out = fwd(params, device_batch)  # compile
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, device_batch)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    dt = time.perf_counter() - t0
+    del params
+    return batch * iters / dt
 
 
 def main():
@@ -33,8 +117,8 @@ def main():
 
     import jax
 
-    # persistent compile cache: the first 800x1344 compile takes ~8 min via
-    # the remote TPU compiler; subsequent bench runs reuse the executable
+    # persistent compile cache: the first 800x1344 compile takes minutes via
+    # the remote TPU compiler; subsequent bench runs reuse the executables
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -42,44 +126,60 @@ def main():
     except Exception:
         pass
 
-    from __graft_entry__ import _synthetic_batch
-    from fsgd_tpu.parallel import create_train_state, make_train_step
-    from fsgd_tpu.solver import build_optimizer
-
     on_tpu = jax.default_backend() != "cpu"
     # 800x1344 is the reference's train bucket (800 short side / 1333 max)
     h, w = (800, 1344) if on_tpu else (128, 128)
     batch = 8 if on_tpu else 2
     max_gt = 64 if on_tpu else 8
-
-    cfg, model = _build_faster_rcnn((h, w), "bfloat16" if on_tpu else "float32", max_gt)
-    params = model.init_params(jax.random.PRNGKey(0), image_size=(h, w))
-    optimizer = build_optimizer(cfg, params)
-    state = create_train_state(params, optimizer)
-    step = make_train_step(model.loss_fn, optimizer, mesh=None, donate=True)
-
-    np_batch = _synthetic_batch(batch, h, w, max_gt=max_gt, seed=0)
-    device_batch = jax.tree.map(jax.device_put, np_batch)
-
-    state, metrics = step(state, device_batch, jax.random.PRNGKey(0))  # compile
-    jax.block_until_ready(metrics["total_loss"])
-
+    compute = "bfloat16" if on_tpu else "float32"
     iters = 20 if on_tpu else 2
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, device_batch, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(metrics["total_loss"])
-    dt = time.perf_counter() - t0
+    infer_iters = 20 if on_tpu else 2
 
-    imgs_per_sec = batch * iters / dt
-    baseline_v100 = 16 / 0.210 / 8  # 9.52 img/s/chip (MODEL_ZOO.md:112-117)
+    rows = []
+    results = {}
+    for name in ("faster_rcnn_r50fpn", "retinanet_r50fpn", "mask_rcnn_r50fpn"):
+        try:
+            v = bench_train(name, h, w, batch, max_gt, compute, iters)
+            results[name + "_train"] = v
+            rows.append(
+                {
+                    "metric": name + "_train_imgs_per_sec_per_chip",
+                    "value": round(v, 3),
+                    "unit": "img/s/chip (train {}x{} {} batch {} synthetic)".format(h, w, compute, batch),
+                    "vs_baseline": round(v / V100_BASELINES[name + "_train"], 3),
+                }
+            )
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        except Exception as e:  # keep the primary metric alive
+            print(json.dumps({"metric": name + "_train", "error": repr(e)[:300]}), file=sys.stderr)
+    for name in ("faster_rcnn_r50fpn", "retinanet_r50fpn", "mask_rcnn_r50fpn"):
+        try:
+            v = bench_infer(name, h, w, batch, compute, infer_iters)
+            results[name + "_infer"] = v
+            rows.append(
+                {
+                    "metric": name + "_infer_imgs_per_sec_per_chip",
+                    "value": round(v, 3),
+                    "unit": "img/s/chip (infer {}x{} {} batch {} synthetic)".format(h, w, compute, batch),
+                    "vs_baseline": round(v / V100_BASELINES[name + "_infer"], 3),
+                }
+            )
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        except Exception as e:
+            print(json.dumps({"metric": name + "_infer", "error": repr(e)[:300]}), file=sys.stderr)
+
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(rows, f, indent=1)
+
+    # the single driver-parsed line: the north-star train metric
+    v = results.get("faster_rcnn_r50fpn_train", 0.0)
     print(
         json.dumps(
             {
                 "metric": "faster_rcnn_r50fpn_train_imgs_per_sec_per_chip",
-                "value": round(imgs_per_sec, 3),
-                "unit": "img/s/chip (800x1344 bf16 batch {} synthetic)".format(batch),
-                "vs_baseline": round(imgs_per_sec / baseline_v100, 3),
+                "value": round(v, 3),
+                "unit": "img/s/chip ({}x{} {} batch {} synthetic)".format(h, w, compute, batch),
+                "vs_baseline": round(v / V100_BASELINES["faster_rcnn_r50fpn_train"], 3),
             }
         )
     )

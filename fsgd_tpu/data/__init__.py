@@ -7,5 +7,6 @@ from .build import (
 )
 from .catalog import DatasetCatalog, Metadata, MetadataCatalog
 from .dataset_mapper import DatasetMapper
+from . import datasets  # noqa: F401  (registers the builtin splits, ref data/__init__.py)
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]

@@ -9,9 +9,10 @@ from __future__ import annotations
 
 import os
 
+from ..catalog import MetadataCatalog
 from .builtin_meta import _get_builtin_metadata
 from .cityscapes import register_cityscapes
-from .coco import register_coco_instances
+from .coco import register_coco_instances, register_coco_panoptic_separated
 from .lvis import get_lvis_instances_meta, register_lvis_instances
 from .pascal_voc import register_pascal_voc
 
@@ -39,6 +40,27 @@ _PREDEFINED_SPLITS_LVIS = {
 }
 
 
+# panoptic splits: (panoptic annotation dir, panoptic json, semantic PNG dir
+# converted from panoptic annotations — reference builtin.py:95-117)
+_PREDEFINED_SPLITS_COCO_PANOPTIC = {
+    "coco_2017_train_panoptic": (
+        "coco/panoptic_train2017",
+        "coco/annotations/panoptic_train2017.json",
+        "coco/panoptic_stuff_train2017",
+    ),
+    "coco_2017_val_panoptic": (
+        "coco/panoptic_val2017",
+        "coco/annotations/panoptic_val2017.json",
+        "coco/panoptic_stuff_val2017",
+    ),
+    "coco_2017_val_100_panoptic": (
+        "coco/panoptic_val2017_100",
+        "coco/annotations/panoptic_val2017_100.json",
+        "coco/panoptic_stuff_val2017_100",
+    ),
+}
+
+
 def register_all_coco(root):
     for key, (image_root, json_file) in _PREDEFINED_SPLITS_COCO.items():
         register_coco_instances(
@@ -54,6 +76,18 @@ def register_all_coco(root):
             os.path.join(root, json_file),
             os.path.join(root, image_root),
         )
+    for prefix, (panoptic_root, panoptic_json, semantic_root) in _PREDEFINED_SPLITS_COCO_PANOPTIC.items():
+        prefix_instances = prefix[: -len("_panoptic")]
+        instances_meta = MetadataCatalog.get(prefix_instances)
+        register_coco_panoptic_separated(
+            prefix,
+            _get_builtin_metadata("coco_panoptic_separated"),
+            instances_meta.image_root,
+            os.path.join(root, panoptic_root),
+            os.path.join(root, panoptic_json),
+            os.path.join(root, semantic_root),
+            instances_meta.json_file,
+        )
 
 
 def register_all_lvis(root):
@@ -68,11 +102,13 @@ def register_all_lvis(root):
 
 def register_all_cityscapes(root):
     for split in ["train", "val", "test"]:
+        image_dir = os.path.join(root, "cityscapes/leftImg8bit/{}".format(split))
+        gt_dir = os.path.join(root, "cityscapes/gtFine/{}".format(split))
         register_cityscapes(
-            "cityscapes_fine_instance_seg_{}".format(split),
-            os.path.join(root, "cityscapes/leftImg8bit/{}".format(split)),
-            os.path.join(root, "cityscapes/gtFine/{}".format(split)),
-            instances=True,
+            "cityscapes_fine_instance_seg_{}".format(split), image_dir, gt_dir, instances=True
+        )
+        register_cityscapes(
+            "cityscapes_fine_sem_seg_{}".format(split), image_dir, gt_dir, instances=False
         )
 
 

@@ -112,6 +112,51 @@ def register_coco_instances(name, metadata, json_file, image_root):
     )
 
 
+def merge_to_panoptic(detection_dicts, sem_seg_dicts):
+    """Join detection and semantic-seg dataset dicts on ``file_name``
+    (reference register_coco.py:102-124)."""
+    sem_seg_by_file = {x["file_name"]: x for x in sem_seg_dicts}
+    assert len(sem_seg_by_file) > 0
+    results = []
+    for det in detection_dicts:
+        merged = dict(det)
+        merged.update(sem_seg_by_file[merged["file_name"]])
+        results.append(merged)
+    return results
+
+
+def register_coco_panoptic_separated(
+    name, metadata, image_root, panoptic_root, panoptic_json, sem_seg_root, instances_json
+):
+    """Register the PanopticFPN "separated" format (reference
+    register_coco.py:41-100): instance annotations from the detection task +
+    semantic PNGs converted from panoptic annotations (things -> id 0, stuff
+    contiguous in [1, #stuff]).  Also registers ``name + '_stuffonly'``."""
+    panoptic_name = name + "_separated"
+    DatasetCatalog.register(
+        panoptic_name,
+        lambda: merge_to_panoptic(
+            load_coco_json(instances_json, image_root, panoptic_name),
+            load_sem_seg(sem_seg_root, image_root),
+        ),
+    )
+    MetadataCatalog.get(panoptic_name).set(
+        panoptic_root=panoptic_root,
+        image_root=image_root,
+        panoptic_json=panoptic_json,
+        sem_seg_root=sem_seg_root,
+        json_file=instances_json,
+        evaluator_type="coco_panoptic_seg",
+        **metadata
+    )
+
+    semantic_name = name + "_stuffonly"
+    DatasetCatalog.register(semantic_name, lambda: load_sem_seg(sem_seg_root, image_root))
+    MetadataCatalog.get(semantic_name).set(
+        sem_seg_root=sem_seg_root, image_root=image_root, evaluator_type="sem_seg", **metadata
+    )
+
+
 def build_toy_dataset_coco(dataset_dicts, fraction: float = 0.2, seed: int = 42):
     """Deterministic subsample for overfit experiments
     (fork's build_toy_dataset_coco, reference coco.py:390-455)."""

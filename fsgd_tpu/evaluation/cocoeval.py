@@ -5,6 +5,12 @@ Implements the exact COCOeval algorithm — greedy score-ordered matching per
 interpolated precision, area ranges and maxDets — for bbox, segm (RLE IoU)
 and keypoints (OKS).  Used by fsgd_tpu.evaluation.coco_evaluation in place of
 the reference's pycocotools dependency (detectron2/evaluation/coco_evaluation.py).
+
+The matching/accumulation control flow follows pycocotools' ``cocoeval.py``
+(https://github.com/cocodataset/cocoapi, (c) 2014 Piotr Dollar and Tsung-Yi
+Lin, BSD-2-Clause) closely — the COCOeval algorithm *is* the metric
+definition, so ``evaluateImg``/``accumulate`` keep its structure and variable
+naming to stay auditable against the canonical implementation.
 """
 
 from __future__ import annotations

@@ -376,23 +376,22 @@ class UnetGambler(GamblerBase):
         weights_map = self.unet.apply({"params": params["unet"]}, gambler_in)
 
         n = logits_levels[0].shape[0]
-        hs = [int(weights_map.shape[1])]
-        ws = [int(weights_map.shape[2])]
+        hs = [int(logits_levels[0].shape[1])]
+        ws = [int(logits_levels[0].shape[2])]
         a = logits_levels[0].shape[3] // self.num_classes
 
-        # match spatial size of predictions to the weights grid if needed
-        logits_for_loss = logits_levels
-        if logits_levels[0].shape[1] != hs[0]:
-            logits_for_loss = [
-                jax.image.resize(
-                    logits_levels[0],
-                    (n, hs[0], ws[0], logits_levels[0].shape[3]),
-                    method="bilinear",
-                )
-            ]
-        valid_loss, num_fg, num_all = self._per_anchor_loss(
-            logits_for_loss, gt_classes if gt_classes.shape[-1] == hs[0] * ws[0] * a else gt_classes
-        )
+        # The per-anchor loss must stay on the logits' native grid, where
+        # gt_classes (N, H*W*A) is aligned (reference gambler_heads.py:346-386
+        # assumes the U-Net bets share that grid).  When the U-Net output grid
+        # differs (stride-16 input vs a different-stride detector level),
+        # resize the *bets* onto the logits grid instead of the logits.
+        if tuple(weights_map.shape[1:3]) != (hs[0], ws[0]):
+            weights_map = jax.image.resize(
+                weights_map,
+                (n, hs[0], ws[0], weights_map.shape[3]),
+                method="bilinear",
+            )
+        valid_loss, num_fg, num_all = self._per_anchor_loss(logits_levels, gt_classes)
         gambler_loss, nakhw_loss, weights = calc_gambler_loss(
             valid_loss,
             weights_map,

@@ -109,8 +109,28 @@ class GANTrainer(TrainerBase):
         self.mesh = mesh
         self._shard = (lambda b: shard_batch(b, mesh)) if mesh is not None else (lambda b: b)
 
-        self._g_step = jax.jit(self._g_step_fn, donate_argnums=(1,))
-        self._d_step = jax.jit(self._d_step_fn, donate_argnums=(0,))
+        if mesh is not None:
+            # data-parallel G/D phases: params/opt replicated, batch sharded on
+            # "data"; the gradient all-reduce over ICI is inserted by GSPMD
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            self._g_step = jax.jit(
+                self._g_step_fn,
+                in_shardings=(repl, repl, data, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(1,),
+            )
+            self._d_step = jax.jit(
+                self._d_step_fn,
+                in_shardings=(repl, repl, data, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+        else:
+            self._g_step = jax.jit(self._g_step_fn, donate_argnums=(1,))
+            self._d_step = jax.jit(self._d_step_fn, donate_argnums=(0,))
 
     # -- the two jitted phase steps -----------------------------------------
     def _gambler_forward(self, det_params, gam_params, batch, detach_pred: bool):
@@ -197,6 +217,15 @@ class GANTrainer(TrainerBase):
 
     # -- host alternation loop ----------------------------------------------
     def run_step(self):
+        if self.max_iter_gambler <= 0 and self.max_iter_detector <= 0:
+            raise ValueError(
+                "GANTrainer: both GAMBLER_ITERATIONS and DETECTOR_ITERATIONS are 0 "
+                "— nothing to train (a step would silently consume data)"
+            )
+        # phase rollover happens before the batch fetch so no data is burned
+        if self.iter_G >= self.max_iter_gambler and self.iter_D >= self.max_iter_detector:
+            self.iter_G = 0
+            self.iter_D = 0
         start = time.perf_counter()
         batch = self._shard(next(self._data_loader_iter))
         data_time = time.perf_counter() - start
@@ -215,10 +244,6 @@ class GANTrainer(TrainerBase):
                 logger.info("Finished training Detector")
                 self.iter_G = 0
                 self.iter_D = 0
-        else:
-            self.iter_G = 0
-            self.iter_D = 0
-            return
 
         self._write_metrics(metrics, data_time)
 

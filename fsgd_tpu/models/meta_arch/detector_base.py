@@ -34,6 +34,10 @@ class DetectorBase:
         self.pixel_mean = jnp.asarray(cfg.MODEL.PIXEL_MEAN, jnp.float32)
         self.pixel_std = jnp.asarray(cfg.MODEL.PIXEL_STD, jnp.float32)
         self.max_gt = cfg.TPU.MAX_GT_PER_IMAGE
+        # static shape buckets: every distinct padded (H, W) is one XLA
+        # executable, so host inference pads into TPU.IMAGE_BUCKETS instead of
+        # per-image size_divisibility rounding (which recompiles per shape)
+        self.image_buckets = [tuple(b) for b in cfg.TPU.IMAGE_BUCKETS]
         self._jit_cache: Dict[Any, Any] = {}
 
     # -- torch-like mode switching (API compatibility) ----------------------
@@ -68,6 +72,7 @@ class DetectorBase:
             batched_inputs,
             max_gt=self.max_gt,
             size_divisibility=self.size_divisibility,
+            buckets=self.image_buckets,
         )
 
     def _jitted(self, name: str, fn, donate=()):

@@ -71,6 +71,50 @@ class PanopticFPN(GeneralizedRCNN):
         dets["sem_seg_logits"] = sem_logits
         return dets
 
+    # -- detectron2-style host API (reference panoptic_fpn.py:49-118) --------
+    def __call__(self, batched_inputs: List[Dict]):
+        if self.training:
+            return super().__call__(batched_inputs)
+
+        from .rcnn import detections_to_instances
+        from .semantic_seg import sem_seg_postprocess_host
+
+        batch = {k: jnp.asarray(v) for k, v in self.prepare_batch(batched_inputs).items()}
+        fwd = self._jitted("inference", self.inference_fn)
+        dets = fwd(self.params, batch)
+        sem_logits = dets.pop("sem_seg_logits")
+        processed = detections_to_instances(dets, batch)
+
+        for i, res in enumerate(processed):
+            image_size = (int(batch["image_size"][i, 0]), int(batch["image_size"][i, 1]))
+            out_size = (int(batch["out_size"][i, 0]), int(batch["out_size"][i, 1]))
+            sem = sem_seg_postprocess_host(sem_logits[i], image_size, out_size)
+            res["sem_seg"] = sem
+            if not self.combine_on:
+                continue
+            inst = res["instances"]
+            scores = np.asarray(inst.scores)
+            classes = np.asarray(inst.pred_classes)
+            if hasattr(inst, "pred_masks_soft") and len(inst) > 0:
+                from ...ops.paste_masks import paste_masks_in_image
+
+                masks = paste_masks_in_image(
+                    np.asarray(inst.pred_masks_soft), inst.pred_boxes, out_size
+                )
+            else:
+                masks = np.zeros((len(inst),) + out_size, dtype=bool)
+            pan, segments = combine_semantic_and_instance_outputs(
+                masks,
+                scores,
+                classes,
+                sem.argmax(axis=-1),
+                overlap_threshold=self.combine_overlap_threshold,
+                stuff_area_limit=self.combine_stuff_area_limit,
+                instances_confidence_threshold=self.combine_instances_confidence_threshold,
+            )
+            res["panoptic_seg"] = (pan, segments)
+        return processed
+
 
 def combine_semantic_and_instance_outputs(
     instance_masks: np.ndarray,  # (N, H, W) bool, score-sorted

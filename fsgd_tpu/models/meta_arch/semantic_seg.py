@@ -141,3 +141,39 @@ class SemanticSegmentor(DetectorBase):
         n, h, w, c = logits.shape
         cs = self.sem_seg_head.common_stride
         return jax.image.resize(logits, (n, h * cs, w * cs, c), method="bilinear")
+
+    # -- detectron2-style host API (reference semantic_seg.py:75-102) --------
+    def __call__(self, batched_inputs):
+        import numpy as np
+
+        batch = {k: jnp.asarray(v) for k, v in self.prepare_batch(batched_inputs).items()}
+        if self.training:
+            fwd = self._jitted("loss", self.loss_fn)
+            total, losses = fwd(self.params, batch)
+            return losses
+        fwd = self._jitted("inference", self.inference_fn)
+        logits = fwd(self.params, batch)
+        out = []
+        for i in range(logits.shape[0]):
+            out.append({"sem_seg": sem_seg_postprocess_host(
+                logits[i],
+                (int(batch["image_size"][i, 0]), int(batch["image_size"][i, 1])),
+                (int(batch["out_size"][i, 0]), int(batch["out_size"][i, 1])),
+            )})
+        return out
+
+
+def sem_seg_postprocess_host(logits, image_size, out_size):
+    """Crop padded logits to the true image area and rescale to the output
+    resolution (reference postprocessing.py sem_seg_postprocess), host-side.
+
+    logits: (H, W, C); returns (out_h, out_w, C) numpy float32.
+    """
+    import numpy as np
+
+    th, tw = image_size
+    cropped = jnp.asarray(logits)[:th, :tw]
+    resized = jax.image.resize(
+        cropped, (out_size[0], out_size[1], cropped.shape[-1]), method="bilinear"
+    )
+    return np.asarray(resized, np.float32)

@@ -167,3 +167,50 @@ class TestGANTrainer:
             hist = storage.histories()
             assert "loss_gambler" in hist and "loss_detector" in hist
             assert "gambler_bets/mean" in hist
+
+
+class TestUnetGambler:
+    """Single-level UnetGambler path (reference gambler_heads.py:321-428)."""
+
+    def _build(self, num_classes=4, anchors=1, image=256):
+        cfg = gambler_cfg(num_classes=num_classes, anchors=anchors, image=(image, image))
+        g = cfg.MODEL.GAMBLER_HEAD
+        g.NAME = "UnetGambler"
+        g.GAMBLER_OUTPUT = "B1HW"
+        g.GAMBLER_IN_CHANNELS = 3 + num_classes * anchors
+        g.GAMBLER_OUT_CHANNELS = 1
+        from fsgd_tpu.gambler.gambler_heads import UnetGambler
+
+        gam = UnetGambler(cfg)
+        params = gam.init_params(jax.random.PRNGKey(0), (image, image))
+        return gam, params
+
+    def test_matching_grid(self):
+        """Detector level at stride 16 == unet grid: no resize needed."""
+        gam, params = self._build()
+        rng = np.random.RandomState(0)
+        logits = [jnp.asarray(rng.randn(2, 16, 16, 4).astype(np.float32))]
+        gt = jnp.asarray(rng.randint(0, 5, (2, 16 * 16)).astype(np.int32))
+        images = jnp.asarray(rng.rand(2, 256, 256, 3).astype(np.float32) * 255)
+        loss_dict, weights, betting = gam.forward(params, images, logits, gt)
+        assert np.isfinite(float(loss_dict["gambler_loss"]))
+        assert betting.shape == (2, 16, 16, 1)
+
+    def test_grid_mismatch_resizes_bets(self):
+        """Detector level at stride 8 (32x32) vs unet grid (16x16): the bets
+        must be resized onto the logits grid; gt stays aligned to the logits
+        (regression for the dead-ternary defect flagged in round 1)."""
+        gam, params = self._build()
+        rng = np.random.RandomState(1)
+        logits = [jnp.asarray(rng.randn(2, 32, 32, 4).astype(np.float32))]
+        gt = jnp.asarray(rng.randint(0, 5, (2, 32 * 32)).astype(np.int32))
+        images = jnp.asarray(rng.rand(2, 256, 256, 3).astype(np.float32) * 255)
+        loss_dict, weights, betting = gam.forward(params, images, logits, gt)
+        assert np.isfinite(float(loss_dict["gambler_loss"]))
+        # bets live on the logits grid after the resize
+        assert betting.shape == (2, 32, 32, 1)
+        assert np.isfinite(float(loss_dict["loss_before_weighting"]))
+        # loss must respond to gt: all-background vs mixed labels differ
+        gt_bg = jnp.full_like(gt, 4)
+        loss_bg, _, _ = gam.forward(params, images, logits, gt_bg)
+        assert float(loss_bg["loss_before_weighting"]) != float(loss_dict["loss_before_weighting"])

@@ -37,8 +37,16 @@ class Trainer(GANTrainer):
     (reference train_net.py:846-960 build_hooks / build_hooks_gambler)."""
 
     def __init__(self, cfg):
+        import jax
+
+        from fsgd_tpu.parallel import create_mesh
+
         data_loader = build_detection_train_loader(cfg)
-        super().__init__(cfg, data_loader)
+        # data-parallel mesh over all local chips (reference wraps both models
+        # in DDP, train_net.py:528-533; here one jitted step per phase over ICI)
+        n_dev = len(jax.devices())
+        mesh = create_mesh(("data",), [n_dev]) if n_dev > 1 else None
+        super().__init__(cfg, data_loader, mesh=mesh)
 
         # two checkpoint streams (reference train_net.py:541-558)
         self.checkpointer = Checkpointer(
