@@ -76,6 +76,7 @@ def _tiny_cfg(tmp_path, name):
 
 @pytest.mark.slow
 class TestDefaultTrainer:
+    @pytest.mark.slow
     def test_train_checkpoint_resume_eval(self, tmp_path):
         name = "engine_test_{}".format(abs(hash(str(tmp_path))) % 10 ** 8)
         _make_dataset(tmp_path, name)

@@ -64,6 +64,7 @@ class TestLayouts:
 
 
 class TestUNets:
+    @pytest.mark.slow
     def test_unet_shapes(self):
         """Reference ImbalanceDetection/tests/test_unet.py shape check."""
         net = UNet(out_channels=5)
@@ -73,6 +74,7 @@ class TestUNets:
         assert y.shape == (1, 32, 32, 5)
         assert float(jnp.min(y)) >= 0 and float(jnp.max(y)) <= 1  # sigmoid output
 
+    @pytest.mark.slow
     def test_layered_unet_shapes(self):
         net = LayeredUnet(img_channels=3)
         sizes = [16, 8, 4, 2, 1]
@@ -185,6 +187,7 @@ class TestUnetGambler:
         params = gam.init_params(jax.random.PRNGKey(0), (image, image))
         return gam, params
 
+    @pytest.mark.slow
     def test_matching_grid(self):
         """Detector level at stride 16 == unet grid: no resize needed."""
         gam, params = self._build()

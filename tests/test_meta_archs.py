@@ -24,6 +24,7 @@ def _with_semseg(batch, num_classes=12):
 
 
 class TestSemanticSegmentor:
+    @pytest.mark.slow
     def test_train_and_infer(self):
         cfg = rcnn_cfg()
         cfg.MODEL.META_ARCHITECTURE = "SemanticSegmentor"
@@ -40,6 +41,7 @@ class TestSemanticSegmentor:
 
 
 class TestPanopticFPN:
+    @pytest.mark.slow
     def test_train_and_infer(self):
         cfg = rcnn_cfg(mask_on=True)
         cfg.MODEL.META_ARCHITECTURE = "PanopticFPN"
@@ -76,6 +78,7 @@ class TestPanopticFPN:
 
 
 class TestCascade:
+    @pytest.mark.slow
     def test_cascade_train_and_infer(self):
         cfg = rcnn_cfg()
         cfg.MODEL.ROI_HEADS.NAME = "CascadeROIHeads"
@@ -157,6 +160,7 @@ class TestPanopticE2E:
         if any(len(o["panoptic_seg"][1]) > 0 for o in outputs):
             assert res["panoptic_seg"]["PQ"] == pytest.approx(100.0)
 
+    @pytest.mark.slow
     def test_semantic_segmentor_call(self):
         cfg = rcnn_cfg()
         cfg.MODEL.META_ARCHITECTURE = "SemanticSegmentor"

@@ -144,6 +144,7 @@ def _greedy_nms_reference(boxes, scores, thresh):
 
 
 class TestNMS:
+    @pytest.mark.slow
     def test_matches_greedy_random(self):
         rng = np.random.RandomState(0)
         for trial in range(5):
@@ -158,6 +159,7 @@ class TestNMS:
             # order: descending score
             assert (np.diff(scores[got]) <= 1e-7).all()
 
+    @pytest.mark.slow
     def test_valid_mask_excludes_padding(self):
         boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10], [0, 0, 0, 0]], np.float32)
         scores = np.array([0.9, 0.8, 100.0], np.float32)  # padded entry has bogus high score
@@ -173,6 +175,7 @@ class TestNMS:
         kept = np.asarray(idx)[np.asarray(mask)]
         np.testing.assert_array_equal(kept, [1, 2])  # box 0 suppressed by higher-scored box 1
 
+    @pytest.mark.slow
     def test_batched_nms_classes_independent(self):
         boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11]], np.float32)
         scores = np.array([0.9, 0.8], np.float32)
@@ -181,6 +184,7 @@ class TestNMS:
         assert len(same_class) == 1
         assert len(diff_class) == 2
 
+    @pytest.mark.slow
     def test_nms_rotated_angle0_matches_nms(self):
         """Reference tests/test_nms_rotated.py:45-155: rotated NMS at angle 0
         must match horizontal NMS."""

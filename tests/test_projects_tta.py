@@ -23,6 +23,7 @@ class TestTridentConv:
         assert not np.allclose(np.asarray(outs[0]), np.asarray(outs[1]))
         assert set(params.keys()) == {"kernel"}
 
+    @pytest.mark.slow
     def test_trident_block_concat(self):
         from fsgd_tpu.projects.tridentnet import TridentBottleneckBlock
 
@@ -81,6 +82,7 @@ class TestTTA:
         shapes = {v["image"].shape for v in variants}
         assert len(shapes) == 2
 
+    @pytest.mark.slow
     def test_rcnn_with_tta_merges(self):
         from common import retinanet_cfg, synthetic_batch
         from fsgd_tpu.models import build_model
@@ -113,6 +115,7 @@ class TestModelZoo:
 
 @pytest.mark.slow
 class TestTridentRCNN:
+    @pytest.mark.slow
     def test_trident_train_and_infer(self):
         from common import synthetic_batch
         from fsgd_tpu.config import get_cfg

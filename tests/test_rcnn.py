@@ -79,6 +79,7 @@ class TestFasterRCNN:
         params = model.init_params(jax.random.PRNGKey(0), image_size=(128, 128))
         return cfg, model, params
 
+    @pytest.mark.slow
     def test_loss_and_grad(self, setup):
         cfg, model, params = setup
         batch = synthetic_batch()
@@ -101,6 +102,7 @@ class TestFasterRCNN:
         assert float(losses["loss_box_reg"]) == 0.0
         assert float(losses["loss_rpn_loc"]) == 0.0
 
+    @pytest.mark.slow
     def test_inference_shapes(self, setup):
         cfg, model, params = setup
         batch = synthetic_batch()
@@ -113,6 +115,7 @@ class TestFasterRCNN:
 
 
 class TestMaskKeypointRCNN:
+    @pytest.mark.slow
     def test_mask_keypoint_train_and_infer(self):
         cfg = rcnn_cfg(mask_on=True, keypoint_on=True)
         model = build_model(cfg)
@@ -128,6 +131,7 @@ class TestMaskKeypointRCNN:
 
 
 class TestC4AndFocal:
+    @pytest.mark.slow
     def test_res5_roi_heads(self):
         cfg = rcnn_cfg(c4=True)
         model = build_model(cfg)
@@ -138,6 +142,7 @@ class TestC4AndFocal:
         dets = model.inference_fn(params, batch)
         assert dets["boxes"].shape[0] == 2
 
+    @pytest.mark.slow
     def test_faster_rcnn_focal_loss(self):
         cfg = rcnn_cfg(focal=True)
         model = build_model(cfg)

@@ -33,6 +33,7 @@ class TestRetinaNet:
         expected = [16 * 16 * 9, 8 * 8 * 9, 4 * 4 * 9, 2 * 2 * 9, 1 * 1 * 9]
         assert [len(a) for a in anchors] == expected
 
+    @pytest.mark.slow
     def test_loss_and_grad(self, model_and_params):
         cfg, model, params = model_and_params
         batch = synthetic_batch()
@@ -73,6 +74,7 @@ class TestRetinaNet:
         # picky mask is a subset of (or equal to) plausible foreground anchors
         assert np.asarray(mask).sum() >= 1
 
+    @pytest.mark.slow
     def test_inference(self, model_and_params):
         cfg, model, params = model_and_params
         batch = synthetic_batch()
@@ -85,6 +87,7 @@ class TestRetinaNet:
         b = np.asarray(dets["boxes"])
         assert (b >= -1e-4).all() and (b[..., 0::2] <= 128 + 1e-4).all()
 
+    @pytest.mark.slow
     def test_call_eval_api(self, model_and_params):
         """detectron2-style list-of-dicts eval path returns the fork 4-tuple."""
         cfg, model, params = model_and_params

@@ -69,6 +69,7 @@ class TestPackedROIAlign:
                 )[0]
                 np.testing.assert_allclose(out_packed[i, j], ref, atol=2e-4)
 
+    @pytest.mark.slow
     def test_pooler_uses_packed(self):
         rng = np.random.RandomState(2)
         feats = _rand_pyramid(rng)

@@ -89,6 +89,7 @@ class TestBoxes:
 
 
 class TestRotatedBoxes:
+    @pytest.mark.slow
     def test_angle0_matches_axis_aligned(self):
         rng = np.random.RandomState(0)
         n, m = 20, 15
