@@ -256,6 +256,16 @@ def _merge_cfg_a_into_b(a: CfgNode, b: CfgNode, key_path: List[str]):
         if isinstance(v_, CfgNode) and isinstance(b[k], CfgNode):
             _merge_cfg_a_into_b(v_, b[k], key_path + [str(k)])
         else:
+            # yacs semantics: file values that read as python literals decode
+            # before type checking, so `TRAIN: ("coco_2017_train",)` in a yaml
+            # (a plain string to the yaml parser) becomes a tuple
+            if isinstance(v_, str) and not isinstance(b[k], str):
+                import ast
+
+                try:
+                    v_ = ast.literal_eval(v_)
+                except (ValueError, SyntaxError):
+                    pass
             v = _check_value_type(v_, b[k], full_key)
             dict.__setitem__(b, k, CfgNode._to_cfg(v))
 

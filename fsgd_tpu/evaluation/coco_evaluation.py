@@ -56,7 +56,14 @@ def instances_to_coco_json(instances, img_id) -> List[dict]:
 
             soft = np.asarray(instances.pred_masks_soft)
             h, w = instances.image_size
-            pasted = paste_masks_in_image(soft, np.asarray(instances.pred_boxes.tensor), (h, w))
+            # TensorMask masks live on anchor boxes (pred_mask_boxes), not
+            # the regressed boxes (reference TensorMask/arch.py:700-731)
+            frame = (
+                instances.pred_mask_boxes
+                if instances.has("pred_mask_boxes")
+                else instances.pred_boxes
+            )
+            pasted = paste_masks_in_image(soft, np.asarray(frame.tensor), (h, w))
             rles = [rle_codec.encode(m) for m in pasted]
         for r in rles:
             r["counts"] = r["counts"].decode("utf-8")

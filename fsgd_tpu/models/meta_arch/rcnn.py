@@ -118,8 +118,15 @@ def detections_to_instances(dets: Dict, batch) -> List[Dict]:
         r.pred_classes = jnp.asarray(np.asarray(dets["classes"][i])[valid])
         if "masks" in dets:
             r.pred_masks_soft = jnp.asarray(np.asarray(dets["masks"][i])[valid])
+        if "mask_boxes" in dets:
+            # masks defined on a frame other than pred_boxes (e.g. TensorMask anchors)
+            r.pred_mask_boxes = Boxes(np.asarray(dets["mask_boxes"][i])[valid])
         if "keypoints" in dets:
             r.pred_keypoints = jnp.asarray(np.asarray(dets["keypoints"][i])[valid])
+        if "densepose" in dets:
+            # (D, S, S, 4) stacked IUV banks: coarse segm, fine segm, U, V
+            # (DensePose project, fsgd_tpu/projects/densepose/roi_head.py)
+            r.pred_densepose = np.asarray(dets["densepose"][i])[valid]
         out.append({"instances": r})
     return out
 

@@ -41,6 +41,10 @@ def scale_detections(dets: Dict[str, jnp.ndarray], image_size: jnp.ndarray, out_
 
     s = jnp.stack([scale_x, scale_y, scale_x, scale_y], axis=-1)[:, None, :]  # (B, 1, 4)
     boxes = dets["boxes"] * s
+    if "mask_boxes" in dets:
+        # TensorMask attaches masks to anchor boxes; scale them the same way
+        dets = dict(dets)
+        dets["mask_boxes"] = dets["mask_boxes"] * s
     # clip to the output canvas
     w = out_size[:, 1].astype(jnp.float32)[:, None]
     h = out_size[:, 0].astype(jnp.float32)[:, None]

@@ -154,17 +154,17 @@ class CascadeROIHeads(StandardROIHeads):
         if self.mask_on:
             # mask branch on the stage-0 sampled foreground (as in the reference)
             from .roi_heads import _select_fg
-            from .mask_head import crop_gt_masks, mask_rcnn_loss
+            from .mask_head import crop_gt_masks_batched, mask_rcnn_loss
 
             fg = _select_fg(sampled, self.max_fg)
             fb, fs = fg["boxes"].shape[:2]
             pooled = self.mask_pooler(feats, fg["boxes"])
             flat = pooled.reshape(fb * fs, *pooled.shape[2:])
             mask_logits = self.mask_head_module.apply({"params": params["mask_head"]}, flat)
-            gt_masks = jnp.take_along_axis(batch["gt_masks"], fg["gt_idx"][..., None, None], axis=1)
-            crops = jax.vmap(
-                lambda m, bx: crop_gt_masks(m, bx, self.mask_gt_stride, mask_logits.shape[1])
-            )(gt_masks, fg["boxes"])
+            crops = crop_gt_masks_batched(
+                batch["gt_masks"], fg["gt_idx"], fg["boxes"],
+                self.mask_gt_stride, mask_logits.shape[1],
+            )
             losses["loss_mask"] = mask_rcnn_loss(
                 mask_logits,
                 fg["gt_classes"].reshape(fb * fs),

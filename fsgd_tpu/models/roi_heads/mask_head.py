@@ -86,6 +86,34 @@ def crop_gt_masks(gt_masks: jnp.ndarray, boxes: jnp.ndarray, mask_stride: float,
     return out[..., 0]
 
 
+def crop_gt_masks_batched(
+    batch_masks: jnp.ndarray,  # (B, G, MH, MW) per-image GT mask stacks
+    gt_idx: jnp.ndarray,  # (B, N) matched GT index per roi
+    boxes: jnp.ndarray,  # (B, N, 4) in input coordinates
+    mask_stride: float,
+    mask_size: int,
+) -> jnp.ndarray:
+    """Crop each roi's matched GT mask to (B, N, M, M) WITHOUT materializing
+    per-roi full-resolution masks.
+
+    The naive path (`take_along_axis` then `crop_gt_masks`) copies a full
+    (MH, MW) mask per roi — ~275 MB of HBM traffic for batch 8 x 128 fg rois
+    at stride 4 on 800x1344 inputs, which dominated the Mask R-CNN train
+    step.  Here the (B*G) mask stack is the roi_align source directly and
+    each roi addresses its mask via the flat batch index b*G + gt_idx, so
+    only the bilinear taps (~50 MB) are ever read.
+    """
+    b, g, mh, mw = batch_masks.shape
+    n = boxes.shape[1]
+    feats = batch_masks.reshape(b * g, mh, mw, 1).astype(jnp.float32)
+    flat_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * g + gt_idx.astype(jnp.int32))
+    rois = jnp.concatenate(
+        [flat_idx.reshape(b * n, 1).astype(boxes.dtype), boxes.reshape(b * n, 4)], axis=1
+    )
+    out = roi_align(feats, rois, (mask_size, mask_size), 1.0 / mask_stride, 2, True)
+    return out[..., 0].reshape(b, n, mask_size, mask_size)
+
+
 def mask_rcnn_loss(
     mask_logits: jnp.ndarray,  # (N, M, M, K) or (N, M, M, 1)
     gt_classes: jnp.ndarray,  # (N,)

@@ -20,7 +20,7 @@ from ..poolers import ROIPooler
 from ...ops.box_transform import Box2BoxTransform
 from .box_head import FastRCNNOutputLayers
 from .fast_rcnn import fast_rcnn_inference_batched, fast_rcnn_losses, predict_boxes, predict_probs
-from .mask_head import crop_gt_masks, mask_rcnn_inference, mask_rcnn_loss
+from .mask_head import crop_gt_masks_batched, mask_rcnn_inference, mask_rcnn_loss
 from .roi_heads import ROIHeads, _select_fg
 
 
@@ -139,10 +139,10 @@ class Res5ROIHeads(ROIHeads):
             fb, fs = fg["boxes"].shape[:2]
             fg_feat = self._shared_roi_transform(params, feats, fg["boxes"])
             mask_logits = self.mask_head_module.apply({"params": params["mask_head"]}, fg_feat)
-            gt_masks = jnp.take_along_axis(batch["gt_masks"], fg["gt_idx"][..., None, None], axis=1)
-            crops = jax.vmap(
-                lambda m, bx: crop_gt_masks(m, bx, self.mask_gt_stride, mask_logits.shape[1])
-            )(gt_masks, fg["boxes"])
+            crops = crop_gt_masks_batched(
+                batch["gt_masks"], fg["gt_idx"], fg["boxes"],
+                self.mask_gt_stride, mask_logits.shape[1],
+            )
             losses["loss_mask"] = mask_rcnn_loss(
                 mask_logits,
                 fg["gt_classes"].reshape(fb * fs),

@@ -36,7 +36,7 @@ from ..poolers import ROIPooler
 from .box_head import FastRCNNConvFCHead, FastRCNNOutputLayers
 from .fast_rcnn import fast_rcnn_inference_batched, fast_rcnn_losses, predict_boxes, predict_probs
 from .keypoint_head import keypoint_rcnn_inference, keypoint_rcnn_loss
-from .mask_head import crop_gt_masks, mask_rcnn_inference, mask_rcnn_loss
+from .mask_head import crop_gt_masks_batched, mask_rcnn_inference, mask_rcnn_loss
 
 
 def add_ground_truth_to_proposals(proposals: Dict, batch: Dict) -> Dict:
@@ -263,12 +263,10 @@ class StandardROIHeads(ROIHeads):
                 pooled = self.mask_pooler(feats, fg["boxes"])
                 flat = pooled.reshape(fb * fs, *pooled.shape[2:])
                 mask_logits = self.mask_head_module.apply({"params": params["mask_head"]}, flat)
-                gt_masks = jnp.take_along_axis(
-                    batch["gt_masks"], fg["gt_idx"][..., None, None], axis=1
-                )  # (B, FS, MH, MW)
-                crops = jax.vmap(
-                    lambda m, bx: crop_gt_masks(m, bx, self.mask_gt_stride, mask_logits.shape[1])
-                )(gt_masks, fg["boxes"])
+                crops = crop_gt_masks_batched(
+                    batch["gt_masks"], fg["gt_idx"], fg["boxes"],
+                    self.mask_gt_stride, mask_logits.shape[1],
+                )
                 losses["loss_mask"] = mask_rcnn_loss(
                     mask_logits,
                     fg["gt_classes"].reshape(fb * fs),

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "sigmoid_focal_loss",
+    "sigmoid_focal_loss_star",
     "smooth_l1_loss",
     "sigmoid_cross_entropy",
     "softmax_cross_entropy",
@@ -23,10 +24,23 @@ __all__ = [
 ]
 
 
-def sigmoid_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Numerically-stable elementwise BCE-with-logits."""
+def sigmoid_cross_entropy(
+    logits: jnp.ndarray, targets: jnp.ndarray, pos_weight: Optional[float] = None
+) -> jnp.ndarray:
+    """Numerically-stable elementwise BCE-with-logits.
+
+    ``pos_weight`` scales the positive-target term exactly like torch's
+    ``binary_cross_entropy_with_logits(pos_weight=...)`` (used by TensorMask,
+    projects/TensorMask/tensormask/arch.py:485-491 with POSITIVE_WEIGHT).
+    """
     # max(x, 0) - x * t + log(1 + exp(-|x|))
-    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    softplus_neg_abs = jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    if pos_weight is None:
+        return jnp.maximum(logits, 0) - logits * targets + softplus_neg_abs
+    # -[pw*t*log(sig(x)) + (1-t)*log(1-sig(x))]
+    log_sig = jnp.minimum(logits, 0) - softplus_neg_abs  # log(sigmoid(x))
+    log_one_minus = -jnp.maximum(logits, 0) - softplus_neg_abs  # log(1-sigmoid(x))
+    return -(pos_weight * targets * log_sig + (1.0 - targets) * log_one_minus)
 
 
 def sigmoid_focal_loss(
@@ -45,6 +59,32 @@ def sigmoid_focal_loss(
     ce = sigmoid_cross_entropy(logits, targets)
     p_t = p * targets + (1.0 - p) * (1.0 - targets)
     loss = ce * (1.0 - p_t) ** gamma
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
+        loss = alpha_t * loss
+    if reduction == "sum":
+        return jnp.sum(loss)
+    if reduction == "mean":
+        return jnp.mean(loss)
+    return loss
+
+
+def sigmoid_focal_loss_star(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    alpha: float = -1.0,
+    gamma: float = 1.0,
+    reduction: str = "none",
+) -> jnp.ndarray:
+    """FL* variant (RetinaNet paper appendix); matches fvcore's
+    ``sigmoid_focal_loss_star``: BCE on gamma-scaled margin logits.
+
+    Used by TensorMask's classification loss
+    (projects/TensorMask/tensormask/arch.py:436-443 via
+    ``sigmoid_focal_loss_star_jit``).
+    """
+    shifted = gamma * (logits * (2.0 * targets - 1.0))
+    loss = -jax.nn.log_sigmoid(shifted) / gamma
     if alpha >= 0:
         alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
         loss = alpha_t * loss

@@ -76,10 +76,70 @@ def _nms_from_iou(iou: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     return keep
 
 
-def _use_pallas() -> bool:
-    import jax as _jax
+def _greedy_fixpoint_sorted(iou: jnp.ndarray, alive0: jnp.ndarray, iou_threshold,
+                            max_rounds: int) -> jnp.ndarray:
+    """Exact greedy keep-mask for boxes already sorted by descending score.
 
-    return _jax.default_backend() == "tpu"
+    Position order IS rank order, so domination is simply "earlier position".
+    ``alive0`` marks boxes not yet suppressed (padding/prior tiles excluded).
+    """
+    t = iou.shape[0]
+    pos = jnp.arange(t)
+    dom = (iou > iou_threshold) & (pos[:, None] < pos[None, :])  # (j, i): j before i
+
+    def cond(state):
+        alive, _, it = state
+        return jnp.any(alive) & (it < max_rounds)
+
+    def body(state):
+        alive, keep, it = state
+        dominated = jnp.any(dom & alive[:, None], axis=0)
+        newly = alive & ~dominated  # greedy-kept this round
+        keep = keep | newly
+        suppressed = jnp.any(dom & newly[:, None], axis=0)
+        alive = alive & ~newly & ~suppressed
+        return alive, keep, it + 1
+
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (alive0, jnp.zeros((t,), bool), jnp.int32(0))
+    )
+    return keep
+
+
+def _nms_sorted_tiled(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold,
+                      tile: int = 128) -> jnp.ndarray:
+    """Exact greedy NMS over score-sorted boxes, tiled for TPU.
+
+    The naive greedy recurrence is K sequential steps; the full-matrix
+    fixpoint materializes a (K, K) IoU matrix (O(K^2) HBM).  This runs a
+    scan over K/tile tiles: an exact greedy fixpoint on the (tile, tile)
+    block, then ONE vectorized (tile, K) suppression sweep against all
+    later boxes.  Sequential depth K/tile; peak memory O(tile * K).
+    Bit-identical to sequential greedy NMS.
+    """
+    k = boxes.shape[0]
+    pad = (-k) % tile
+    if pad:
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    kp = k + pad
+    pos = jnp.arange(kp)
+
+    def step(alive, t):
+        start = t * tile
+        tb = jax.lax.dynamic_slice(boxes, (start, 0), (tile, 4))
+        ta = jax.lax.dynamic_slice(alive, (start,), (tile,))
+        keep_t = _greedy_fixpoint_sorted(pairwise_iou(tb, tb), ta, iou_threshold, tile)
+        # kept tile boxes suppress every later overlapping box
+        sup = jnp.any((pairwise_iou(tb, boxes) > iou_threshold) & keep_t[:, None], axis=0)
+        alive = alive & ~(sup & (pos >= start + tile))
+        return alive, keep_t
+
+    _, keeps = jax.lax.scan(step, valid, jnp.arange(kp // tile))
+    return keeps.reshape(kp)[:k]
+
+
+_TILED_MIN_K = 256  # below this the one-shot (K, K) fixpoint is cheaper
 
 
 def nms_mask(
@@ -91,20 +151,19 @@ def nms_mask(
 ) -> jnp.ndarray:
     """Exact greedy NMS; returns a (N,) bool keep mask.  Jittable.
 
-    On TPU this runs the fused VMEM-resident Pallas kernel
-    (ops/pallas_nms.py); elsewhere the parallel-iteration lax formulation.
+    Large N routes through the tiled sorted scan (sequential depth N/128,
+    peak memory O(128 * N)); small N uses the one-shot (N, N) parallel
+    fixpoint.  Both are bit-identical to sequential greedy NMS.
     """
     n = boxes.shape[0]
     if n == 0:
         return jnp.zeros((0,), dtype=bool)
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
-    if _use_pallas():
-        from .pallas_nms import nms_sorted_pallas
-
+    if n >= _TILED_MIN_K:
         neg_inf_scores = jnp.where(valid, scores, -jnp.inf)
         order = jnp.argsort(-neg_inf_scores, stable=True)
-        keep_sorted = nms_sorted_pallas(boxes[order], valid[order], iou_threshold)
+        keep_sorted = _nms_sorted_tiled(boxes[order], valid[order], iou_threshold)
         return jnp.zeros((n,), bool).at[order].set(keep_sorted)
     iou = pairwise_iou(boxes, boxes)
     return _nms_from_iou(iou, scores, iou_threshold, valid, max_rounds or n)

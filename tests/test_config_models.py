@@ -31,6 +31,26 @@ def test_config_builds_model(path):
     assert model is not None
 
 
+def test_tensormask_config_builds():
+    import os
+
+    from fsgd_tpu.projects.tensormask import add_tensormask_config
+
+    cfg = get_cfg()
+    add_tensormask_config(cfg)
+    cfg.merge_from_file(
+        os.path.join(
+            os.path.dirname(__file__), "..", "projects/TensorMask/configs/tensormask_R_50_FPN_1x.yaml"
+        )
+    )
+    cfg.MODEL.WEIGHTS = ""
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+    assert model.bipyramid_on and model.aligned_on
+    assert model.mask_sizes == [11, 15] and model.num_anchors == 2
+    assert model.min_anchor_size == 40.0
+
+
 def test_gambler_config_builds():
     import os
 

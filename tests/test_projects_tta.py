@@ -66,6 +66,38 @@ class TestSwapAlign2Nat:
         out = np.asarray(swap_align2nat(x, lambda_val=2.0, pad_val=-6.0))
         assert out[0, 0, 0, 0] == pytest.approx(-6.0)  # reads outside
 
+    @pytest.mark.parametrize("lam", [1, 2])
+    def test_sparse_at_matches_dense(self, lam):
+        """swap_align2nat_at rows == rows of the dense output."""
+        from fsgd_tpu.ops.swap_align2nat import swap_align2nat, swap_align2nat_at
+
+        rng = np.random.RandomState(1)
+        u = 3
+        x = jnp.asarray(rng.randn(1, 8, 8, u * u).astype(np.float32))
+        dense = np.asarray(swap_align2nat(x, lambda_val=lam, pad_val=-6.0))
+        hout, wout = dense.shape[1:3]
+        uout = lam * u
+        pos = np.array([[0, 0], [1, 2], [hout - 1, wout - 1]], np.int32)
+        sparse = np.asarray(swap_align2nat_at(x[0], jnp.asarray(pos), lam, pad_val=-6.0))
+        for i, (y, xx) in enumerate(pos):
+            np.testing.assert_allclose(
+                sparse[i].reshape(-1), dense[0, y, xx], rtol=1e-5, atol=1e-5
+            )
+
+    @pytest.mark.parametrize("lam", [1, 2])
+    def test_window_canvas_matches_at_when_exact(self, lam):
+        """canvas == native size -> swap_align2nat_window is exact."""
+        from fsgd_tpu.ops.swap_align2nat import swap_align2nat_at, swap_align2nat_window
+
+        rng = np.random.RandomState(2)
+        u = 3
+        x = jnp.asarray(rng.randn(8, 8, u * u).astype(np.float32))
+        pos = jnp.asarray(np.array([[1, 1], [3, 2]], np.int32))
+        native = lam * u
+        at = np.asarray(swap_align2nat_at(x, pos, lam, pad_val=-6.0))
+        win = np.asarray(swap_align2nat_window(x, pos, lam, canvas=native, pad_val=-6.0))
+        np.testing.assert_allclose(win, at, rtol=1e-5, atol=1e-5)
+
 
 class TestTTA:
     def test_mapper_tta_variants(self):
