@@ -233,6 +233,11 @@ class TrainLoader:
         h, w = image.shape[:2]
         return pick_bucket(h, w, self.buckets)
 
+    def collate(self, mapped: List[Dict], bucket) -> Dict[str, np.ndarray]:
+        """Mapped per-image dicts -> one padded native batch.  Projects with
+        extra GT (e.g. DensePose) override this to extend the contract."""
+        return to_native_batch(mapped, self.max_gt, bucket, self.mask_stride, self.num_keypoints)
+
     def _gen(self):
         buffers: Dict[Any, List] = {}
         sampler_iter = iter(self.sampler)
@@ -248,9 +253,7 @@ class TrainLoader:
             key = self._bucket_of(mapped["image"]) if self.aspect_grouping else self.buckets[0]
             buffers.setdefault(key, []).append(mapped)
             if len(buffers[key]) == self.batch_size:
-                batch = to_native_batch(
-                    buffers[key], self.max_gt, key, self.mask_stride, self.num_keypoints
-                )
+                batch = self.collate(buffers[key], key)
                 buffers[key] = []
                 yield batch
 

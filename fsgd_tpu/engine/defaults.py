@@ -181,6 +181,18 @@ class DefaultTrainer(SimpleTrainer):
             else None,
         ]
 
+        if cfg.TEST.PRECISE_BN.ENABLED:
+            # before eval/checkpoint hooks so recomputed stats are used by both
+            # (reference defaults.py build_hooks ordering)
+            ret.append(
+                hooks.PreciseBN(
+                    cfg.TEST.EVAL_PERIOD,
+                    self.model,
+                    self.build_train_loader(cfg),
+                    cfg.TEST.PRECISE_BN.NUM_ITER,
+                )
+            )
+
         def test_and_save_results():
             self._last_eval_results = self.test(self.cfg, self.model)
             return self._last_eval_results

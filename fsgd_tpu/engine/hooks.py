@@ -221,8 +221,42 @@ class ProfilerHook(HookBase):
 
 
 class PreciseBN(HookBase):
-    """Placeholder: FrozenBN/SyncBN make train-time statistic recomputation
-    unnecessary on TPU (reference hooks.py:397-470)."""
+    """Recompute FrozenBN statistics from live activations every ``period``
+    iterations and at the end (reference hooks.py:397-470).
 
-    def __init__(self, *args, **kwargs):
-        pass
+    The stats pass inverts each frozen affine from captured outputs — see
+    ``fsgd_tpu/layers/precise_bn.py`` for the TPU design.  The updated
+    params are installed into both the trainer state and the model.
+    """
+
+    def __init__(self, period: int, model, data_loader, num_iter: int):
+        self._period = period
+        self._model = model
+        self._data_loader = data_loader
+        self._num_iter = num_iter
+        self._data_iter = None
+
+    def _image_batches(self):
+        if self._data_iter is None:
+            self._data_iter = iter(self._data_loader)
+        for _ in range(self._num_iter):
+            batch = next(self._data_iter)
+            yield batch["image"] if isinstance(batch, dict) else batch
+
+    def update_stats(self):
+        from ..layers.precise_bn import update_bn_stats
+
+        trainer = self.trainer
+        params = trainer.state.params if trainer is not None else self._model.params
+        new_params = update_bn_stats(
+            self._model.module, params, self._image_batches(), self._num_iter
+        )
+        self._model.params = new_params
+        if trainer is not None:
+            trainer.state = trainer.state._replace(params=new_params)
+
+    def after_step(self):
+        next_iter = self.trainer.iter + 1
+        is_final = next_iter == self.trainer.max_iter
+        if is_final or (self._period > 0 and next_iter % self._period == 0):
+            self.update_stats()

@@ -62,7 +62,7 @@ class ROIPooler:
         self.scales = list(scales)
         self.sampling_ratio = sampling_ratio
         self.pooler_type = pooler_type
-        assert pooler_type in ("ROIAlign", "ROIAlignV2", "ROIAlignRotated"), pooler_type
+        assert pooler_type in ("ROIAlign", "ROIAlignV2", "ROIAlignRotated", "ROIPool"), pooler_type
         self.min_level = -int(math.log2(scales[0]))
         self.max_level = -int(math.log2(scales[-1]))
         assert self.max_level - self.min_level + 1 == len(scales), "scales must be contiguous powers of 2"
@@ -91,6 +91,9 @@ class ROIPooler:
         rois = convert_boxes_to_pooler_format(boxes)
         aligned = self.pooler_type in ("ROIAlignV2", "ROIAlignRotated")
         rotated = self.pooler_type == "ROIAlignRotated"
+
+        if self.pooler_type == "ROIPool":
+            return self._roi_pool(features, boxes, rois).reshape(b, p, *self.output_size, -1)
 
         if len(self.scales) == 1:
             if rotated:
@@ -153,3 +156,27 @@ class ROIPooler:
             mask = (levels == self.min_level + i).astype(pooled.dtype)[:, None, None, None]
             out = pooled * mask if out is None else out + pooled * mask
         return out.reshape(b, p, *self.output_size, -1)
+
+    def _roi_pool(self, features, boxes, rois):
+        """Quantized max pooling (reference poolers.py:95-100 "ROIPool"),
+        mask-combined across levels like the align path."""
+        from ..ops.roi_pool import roi_pool
+
+        grid = self.sampling_ratio if self.sampling_ratio > 0 else 4
+        if len(self.scales) == 1:
+            return roi_pool(
+                features[0], rois, self.output_size, self.scales[0], grid=grid,
+                roi_chunk=self.roi_chunk,
+            )
+        levels = assign_boxes_to_levels(
+            rois[:, 1:5], self.min_level, self.max_level,
+            self.canonical_box_size, self.canonical_level,
+        )
+        out = None
+        for i, (feat, scale) in enumerate(zip(features, self.scales)):
+            pooled = roi_pool(
+                feat, rois, self.output_size, scale, grid=grid, roi_chunk=self.roi_chunk
+            )
+            mask = (levels == self.min_level + i).astype(pooled.dtype)[:, None, None, None]
+            out = pooled * mask if out is None else out + pooled * mask
+        return out

@@ -24,4 +24,7 @@ def add_densepose_config(cfg):
     _C.MODEL.ROI_DENSEPOSE_HEAD.INDEX_WEIGHTS = 2.0
     _C.MODEL.ROI_DENSEPOSE_HEAD.PART_WEIGHTS = 0.3
     _C.MODEL.ROI_DENSEPOSE_HEAD.POINT_REGRESSION_WEIGHTS = 0.1
+    # TPU static-shape contract: annotated points are padded to this length
+    # per instance (COCO-DensePose annotates at most ~184 points/person)
+    _C.MODEL.ROI_DENSEPOSE_HEAD.MAX_POINTS = 196
     return cfg

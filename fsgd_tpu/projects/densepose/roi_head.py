@@ -117,7 +117,16 @@ class DensePoseROIHeads(StandardROIHeads):
         outputs = self._dp_forward(params, feats, dets["boxes"])
         b, d = dets["boxes"].shape[:2]
         iuv = densepose_inference(outputs)
-        dets["densepose"] = {
-            k: v.reshape(b, d, *v.shape[1:]) for k, v in iuv.items()
-        }
+        # stack into one static (B, D, S, S, 4) tensor: coarse, fine, U, V —
+        # a single array field keeps the host Instances contract simple
+        stacked = jnp.stack(
+            [
+                iuv["coarse_segm"].astype(jnp.float32),
+                iuv["fine_segm"].astype(jnp.float32),
+                iuv["u"],
+                iuv["v"],
+            ],
+            axis=-1,
+        )
+        dets["densepose"] = stacked.reshape(b, d, *stacked.shape[1:])
         return dets

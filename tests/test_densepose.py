@@ -52,4 +52,4 @@ def test_densepose_train_and_infer():
 
     dets = model.inference_fn(params, batch)
     assert "densepose" in dets
-    assert dets["densepose"]["u"].shape[2:] == (56, 56)
+    assert dets["densepose"].shape[2:] == (56, 56, 4)

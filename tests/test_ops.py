@@ -342,3 +342,61 @@ class TestPallasNMS:
         ref_mask = np.zeros(n, bool)
         ref_mask[expected] = True
         np.testing.assert_array_equal(keep, ref_mask)
+
+
+class TestRoIPool:
+    """roi_pool vs a direct Caffe2-semantics numpy loop
+    (reference pooler type "ROIPool", detectron2 poolers.py:95-100)."""
+
+    @staticmethod
+    def _ref_roi_pool(feat, rois, out_size, scale):
+        n, h, w, c = feat.shape
+        ph, pw = out_size
+        out = np.zeros((len(rois), ph, pw, c), np.float32)
+        for r, roi in enumerate(rois):
+            b = int(roi[0])
+            x1 = int(round(roi[1] * scale)); y1 = int(round(roi[2] * scale))
+            x2 = int(round(roi[3] * scale)); y2 = int(round(roi[4] * scale))
+            rw = max(x2 - x1 + 1, 1); rh = max(y2 - y1 + 1, 1)
+            bw, bh = rw / pw, rh / ph
+            for i in range(ph):
+                for j in range(pw):
+                    hs = min(max(int(np.floor(i * bh)) + y1, 0), h)
+                    he = min(max(int(np.ceil((i + 1) * bh)) + y1, 0), h)
+                    ws = min(max(int(np.floor(j * bw)) + x1, 0), w)
+                    we = min(max(int(np.ceil((j + 1) * bw)) + x1, 0), w)
+                    if he <= hs or we <= ws:
+                        continue
+                    out[r, i, j] = feat[b, hs:he, ws:we].reshape(-1, c).max(axis=0)
+        return out
+
+    def test_matches_reference_loop(self):
+        from fsgd_tpu.ops.roi_pool import roi_pool
+
+        rng = np.random.RandomState(0)
+        feat = rng.randn(2, 24, 32, 3).astype(np.float32)
+        rois = np.array(
+            [
+                [0, 4.0, 4.0, 60.0, 44.0],
+                [1, 0.0, 0.0, 127.0, 95.0],
+                [0, 10.0, 8.0, 30.0, 20.0],
+                [1, 50.0, 30.0, 90.0, 80.0],
+            ],
+            np.float32,
+        )
+        got = np.asarray(roi_pool(feat, rois, (7, 7), 0.25, grid=8, roi_chunk=4))
+        want = self._ref_roi_pool(feat, rois, (7, 7), 0.25)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_pooler_type_roipool(self):
+        from fsgd_tpu.models.poolers import ROIPooler
+
+        rng = np.random.RandomState(1)
+        feats = [rng.randn(2, 32, 32, 4).astype(np.float32), rng.randn(2, 16, 16, 4).astype(np.float32)]
+        pooler = ROIPooler((7, 7), [0.25, 0.125], 0, "ROIPool")
+        boxes = np.array(
+            [[[10.0, 10.0, 60.0, 60.0], [0.0, 0.0, 120.0, 120.0]]] * 2, np.float32
+        )
+        out = pooler(feats, jnp.asarray(boxes))
+        assert out.shape == (2, 2, 7, 7, 4)
+        assert np.isfinite(np.asarray(out)).all()

@@ -30,7 +30,10 @@ def main():
     from fsgd_tpu.engine import DefaultPredictor
     from fsgd_tpu.evaluation.coco_evaluation import instances_to_coco_json
 
+    from fsgd_tpu.projects import setup_project_cfg
+
     cfg = get_cfg()
+    setup_project_cfg(cfg, args.config_file)
     cfg.merge_from_file(args.config_file)
     cfg.merge_from_list(args.opts)
     cfg.freeze()

@@ -20,8 +20,11 @@ class Trainer(DefaultTrainer):
 
 
 def setup(args):
+    from fsgd_tpu.projects import setup_project_cfg
+
     cfg = get_cfg()
     if args.config_file:
+        setup_project_cfg(cfg, args.config_file)
         cfg.merge_from_file(args.config_file)
     cfg.merge_from_list(args.opts)
     cfg.freeze()
