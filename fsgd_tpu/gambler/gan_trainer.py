@@ -246,6 +246,35 @@ class GANTrainer(TrainerBase):
                 self.iter_D = 0
 
         self._write_metrics(metrics, data_time)
+        if (
+            self.vis_period > 0
+            and self.storage is not None
+            and self.storage.iter > 0
+            and self.storage.iter % self.vis_period == 0
+        ):
+            self._visualize_step(batch)
+
+    def _visualize_step(self, batch):
+        """Betting/loss/GT grid dump every VIS_PERIOD iterations
+        (fork train_net.py:1150-1160 visualize_training calls)."""
+        try:
+            from .visualization import visualize_training_
+
+            images, preds, gt_classes, mask, _ = self.detection_model.forward_train(
+                self.det_state.params, batch
+            )
+            loss_dict, _, betting_map = self.gambler_model.forward(
+                self.gam_state.params, images,
+                preds["pred_class_logits_levels"], gt_classes, mask, detach_pred=True,
+            )
+            visualize_training_(
+                gt_classes, loss_dict["NAKHW_loss"], betting_map, np.asarray(images),
+                self.cfg.MODEL.RETINANET.NUM_CLASSES, self.storage, self.cfg.OUTPUT_DIR,
+                save_files=self.cfg.MODEL.GAMBLER_HEAD.SAVE_VIS_FILES,
+                denormalizer=getattr(self.detection_model, "denormalize", None),
+            )
+        except Exception:
+            logger.exception("gambler visualization failed (continuing training)")
 
     def _write_metrics(self, metrics: Dict, data_time: float):
         host = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
