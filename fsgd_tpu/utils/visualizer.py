@@ -23,6 +23,8 @@ from .colormap import colormap, random_color
 __all__ = ["Visualizer", "VisImage", "ColorMode", "GenericMask"]
 
 _SMALL_OBJECT_AREA_THRESH = 1000
+_KEYPOINT_THRESHOLD = 0.05
+_RED = (1.0, 0.2, 0.2)
 
 
 class ColorMode:
@@ -77,6 +79,17 @@ class GenericMask:
             return np.zeros(4)
         return np.array([xs.min(), ys.min(), xs.max(), ys.max()], dtype=np.float64)
 
+    def has_holes(self) -> bool:
+        """Whether the mask has interior contours (reference visualizer.py:100-122)."""
+        import cv2
+
+        hierarchy = cv2.findContours(
+            self.mask.astype(np.uint8), cv2.RETR_CCOMP, cv2.CHAIN_APPROX_NONE
+        )[-1]
+        if hierarchy is None:
+            return False
+        return (hierarchy.reshape(-1, 4)[:, 3] >= 0).sum() > 0
+
 
 class VisImage:
     def __init__(self, img: np.ndarray, scale: float = 1.0):
@@ -116,13 +129,36 @@ class Visualizer:
 
     # -- high level ----------------------------------------------------------
     def draw_instance_predictions(self, predictions) -> VisImage:
+        """Reference visualizer.py:324-372, including the SEGMENTATION
+        (per-class thing_colors) and IMAGE_BW (grayscale outside masks)
+        color modes."""
         boxes = np.asarray(predictions.pred_boxes.tensor) if predictions.has("pred_boxes") else None
         scores = np.asarray(predictions.scores) if predictions.has("scores") else None
         classes = np.asarray(predictions.pred_classes) if predictions.has("pred_classes") else None
         labels = self._create_labels(classes, scores)
         masks = np.asarray(predictions.pred_masks) if predictions.has("pred_masks") else None
         keypoints = np.asarray(predictions.pred_keypoints) if predictions.has("pred_keypoints") else None
-        return self.overlay_instances(boxes=boxes, labels=labels, masks=masks, keypoints=keypoints)
+
+        colors = None
+        alpha = 0.5
+        thing_colors = self.metadata.get("thing_colors", None) if self.metadata is not None else None
+        if self._instance_mode == ColorMode.SEGMENTATION and thing_colors and classes is not None:
+            colors = [
+                self._jitter(np.asarray(thing_colors[int(c)], np.float64) / 255.0) for c in classes
+            ]
+            alpha = 0.8
+        if self._instance_mode == ColorMode.IMAGE_BW:
+            bw_mask = None
+            if masks is not None:
+                bw_mask = np.any(
+                    [GenericMask(m, *self.img.shape[:2]).mask.astype(bool) for m in masks], axis=0
+                )
+            self.output = VisImage(self._create_grayscale_image(bw_mask), scale=self.output.scale)
+            alpha = 0.3
+        return self.overlay_instances(
+            boxes=boxes, labels=labels, masks=masks, keypoints=keypoints,
+            assigned_colors=colors, alpha=alpha,
+        )
 
     def draw_dataset_dict(self, dic) -> VisImage:
         annos = dic.get("annotations", None)
@@ -137,13 +173,18 @@ class Visualizer:
             self.overlay_instances(boxes=boxes, labels=labels, masks=masks)
         return self.output
 
-    def overlay_instances(self, *, boxes=None, labels=None, masks=None, keypoints=None, assigned_colors=None) -> VisImage:
+    def overlay_instances(self, *, boxes=None, labels=None, masks=None, keypoints=None,
+                          assigned_colors=None, alpha=0.5) -> VisImage:
         num_instances = 0
         for x in (boxes, labels, masks, keypoints):
             if x is not None:
                 num_instances = max(num_instances, len(x))
         if num_instances == 0:
             return self.output
+        if boxes is not None and np.asarray(boxes).ndim == 2 and np.asarray(boxes).shape[1] == 5:
+            return self.overlay_rotated_instances(
+                boxes=boxes, labels=labels, assigned_colors=assigned_colors
+            )
         cmap = colormap(rgb=True, maximum=1.0)
         if assigned_colors is None:
             assigned_colors = [cmap[i % len(cmap)] for i in range(num_instances)]
@@ -154,12 +195,99 @@ class Visualizer:
                 self.draw_box(boxes[i], edge_color=color)
             if masks is not None and i < len(masks):
                 gm = GenericMask(masks[i], self.img.shape[0], self.img.shape[1])
-                self.draw_binary_mask(gm.mask, color=color)
+                self.draw_binary_mask(gm.mask, color=color, alpha=alpha)
             if keypoints is not None and i < len(keypoints):
-                self.draw_keypoints(keypoints[i], color=color)
+                self.draw_and_connect_keypoints(keypoints[i])
             if labels is not None and i < len(labels) and boxes is not None and i < len(boxes):
                 x0, y0 = boxes[i][0], boxes[i][1]
-                self.draw_text(labels[i], (x0, y0), color=color)
+                # contrast the label against its instance color (reference :627-641)
+                lighter = self._change_color_brightness(color, brightness_factor=0.7)
+                self.draw_text(labels[i], (x0, y0), color=lighter)
+        return self.output
+
+    def overlay_rotated_instances(self, boxes=None, labels=None, assigned_colors=None) -> VisImage:
+        """(cx, cy, w, h, angle) boxes (reference visualizer.py:648-686)."""
+        num_instances = len(boxes) if boxes is not None else 0
+        if num_instances == 0:
+            return self.output
+        cmap = colormap(rgb=True, maximum=1.0)
+        if assigned_colors is None:
+            assigned_colors = [cmap[i % len(cmap)] for i in range(num_instances)]
+        # draw large boxes first so small ones stay visible
+        areas = np.asarray(boxes)[:, 2] * np.asarray(boxes)[:, 3]
+        order = np.argsort(-areas).tolist()
+        for i in order:
+            self.draw_rotated_box_with_label(
+                boxes[i],
+                edge_color=assigned_colors[i],
+                label=labels[i] if labels is not None and i < len(labels) else None,
+            )
+        return self.output
+
+    def draw_rotated_box_with_label(self, rotated_box, alpha=0.5, edge_color="g",
+                                    line_style="-", label=None) -> VisImage:
+        """Reference visualizer.py:830-881."""
+        cx, cy, w, h, angle = [float(v) for v in rotated_box[:5]]
+        theta = angle * np.pi / 180.0
+        c, s = np.cos(theta), np.sin(theta)
+        rect = [(-w / 2, h / 2), (-w / 2, -h / 2), (w / 2, -h / 2), (w / 2, h / 2)]
+        rotated = [(c * xx + s * yy + cx, -s * xx + c * yy + cy) for xx, yy in rect]
+        linewidth = max(self._default_font_size / 4, 1) * (2 if w * h < _SMALL_OBJECT_AREA_THRESH else 1)
+        for k in range(4):
+            j = (k + 1) % 4
+            self.draw_line(
+                [rotated[k][0], rotated[j][0]], [rotated[k][1], rotated[j][1]],
+                color=edge_color,
+                linestyle="--" if k == 1 else line_style,
+                linewidth=linewidth,
+            )
+        if label is not None:
+            lighter = self._change_color_brightness(edge_color, brightness_factor=0.7)
+            self.draw_text(label, rotated[1], color=lighter, rotation=angle)
+        return self.output
+
+    def draw_and_connect_keypoints(self, keypoints) -> VisImage:
+        """Draw visible keypoints, connect them by the metadata's
+        keypoint_connection_rules, and draw the nose->mid-shoulder->mid-hip
+        trunk (reference visualizer.py:687-748)."""
+        visible = {}
+        names = self.metadata.get("keypoint_names", None) if self.metadata is not None else None
+        keypoints = np.asarray(keypoints)
+        for idx, kp in enumerate(keypoints):
+            x, y = kp[0], kp[1]
+            prob = kp[2] if len(kp) > 2 else 1.0
+            if prob > _KEYPOINT_THRESHOLD:
+                self.draw_circle((x, y), color=_RED)
+                if names:
+                    visible[names[idx]] = (x, y)
+        rules = self.metadata.get("keypoint_connection_rules", None) if self.metadata is not None else None
+        if rules:
+            for kp0, kp1, color in rules:
+                if kp0 in visible and kp1 in visible:
+                    x0, y0 = visible[kp0]
+                    x1, y1 = visible[kp1]
+                    self.draw_line([x0, x1], [y0, y1], color=np.asarray(color, np.float64) / 255.0)
+        # trunk: nose -> mid-shoulder -> mid-hip
+        try:
+            ls_x, ls_y = visible["left_shoulder"]
+            rs_x, rs_y = visible["right_shoulder"]
+            mid_shoulder = ((ls_x + rs_x) / 2, (ls_y + rs_y) / 2)
+        except KeyError:
+            pass
+        else:
+            if "nose" in visible:
+                nose_x, nose_y = visible["nose"]
+                self.draw_line([nose_x, mid_shoulder[0]], [nose_y, mid_shoulder[1]], color=_RED)
+            try:
+                lh_x, lh_y = visible["left_hip"]
+                rh_x, rh_y = visible["right_hip"]
+            except KeyError:
+                pass
+            else:
+                mid_hip = ((lh_x + rh_x) / 2, (lh_y + rh_y) / 2)
+                self.draw_line(
+                    [mid_hip[0], mid_shoulder[0]], [mid_hip[1], mid_shoulder[1]], color=_RED
+                )
         return self.output
 
     def draw_sem_seg(self, sem_seg, area_threshold=None, alpha=0.5) -> VisImage:
@@ -258,6 +386,35 @@ class Visualizer:
         return self.output
 
     # -- helpers -------------------------------------------------------------
+    def _jitter(self, color):
+        """Randomly shift a color to tell same-class instances apart
+        (reference visualizer.py:1028-1045)."""
+        color = mplc.to_rgb(color)
+        vec = np.random.rand(3) * 0.5
+        vec = vec / np.linalg.norm(vec)
+        return tuple(np.clip(vec + color, 0, 1))
+
+    def _create_grayscale_image(self, mask=None) -> np.ndarray:
+        """Grayscale copy, optionally keeping color inside ``mask``
+        (reference visualizer.py:1047-1056)."""
+        img_bw = self.img.astype("f4").mean(axis=2)
+        img_bw = np.stack([img_bw] * 3, axis=2)
+        if mask is not None:
+            img_bw[mask] = self.img[mask]
+        return img_bw.astype("uint8")
+
+    def _change_color_brightness(self, color, brightness_factor: float):
+        """Lighten (>0) or darken (<0) a color in HLS space
+        (reference visualizer.py:1058-1081)."""
+        assert -1.0 <= brightness_factor <= 1.0
+        import colorsys
+
+        color = mplc.to_rgb(color)
+        h, l, s = colorsys.rgb_to_hls(*color)
+        l = l + brightness_factor * l
+        l = min(max(l, 0.0), 1.0)
+        return colorsys.hls_to_rgb(h, l, s)
+
     def _create_labels(self, classes, scores) -> Optional[List[str]]:
         if classes is None:
             return None

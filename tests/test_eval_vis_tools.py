@@ -90,3 +90,62 @@ class TestGamblerVis:
         grid = make_grid(imgs, ncols=3)
         assert grid.ndim == 2
         assert grid.max() <= 1.0 + 1e-6
+
+
+class TestVisualizerExtended:
+    """Rotated boxes, connected keypoints, color modes (reference
+    visualizer.py:324-372, 648-748, 1028-1081)."""
+
+    def _img(self):
+        return (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+
+    def test_overlay_rotated_instances(self):
+        from fsgd_tpu.utils.visualizer import Visualizer
+
+        v = Visualizer(self._img())
+        boxes = np.array([[32.0, 32.0, 20.0, 10.0, 30.0], [16.0, 16.0, 8.0, 6.0, -15.0]])
+        out = v.overlay_instances(boxes=boxes, labels=["a", "b"])
+        assert out.get_image().shape[-1] == 3
+
+    def test_draw_and_connect_keypoints(self):
+        from fsgd_tpu.data.datasets.builtin_meta import COCO_PERSON_KEYPOINT_NAMES, KEYPOINT_CONNECTION_RULES
+        from fsgd_tpu.utils.visualizer import Visualizer
+
+        class Meta:
+            def get(self, k, default=None):
+                return {
+                    "keypoint_names": COCO_PERSON_KEYPOINT_NAMES,
+                    "keypoint_connection_rules": KEYPOINT_CONNECTION_RULES,
+                }.get(k, default)
+
+        v = Visualizer(self._img(), metadata=Meta())
+        kps = np.zeros((len(COCO_PERSON_KEYPOINT_NAMES), 3))
+        kps[:, 0] = np.linspace(10, 50, len(kps))
+        kps[:, 1] = np.linspace(10, 50, len(kps))
+        kps[:, 2] = 1.0
+        out = v.draw_and_connect_keypoints(kps)
+        assert out.get_image().shape[-1] == 3
+
+    def test_image_bw_mode(self):
+        from fsgd_tpu.structures import Boxes, Instances
+        from fsgd_tpu.utils.visualizer import ColorMode, Visualizer
+
+        inst = Instances((64, 64))
+        inst.pred_boxes = Boxes(np.array([[10.0, 10.0, 40.0, 40.0]], np.float32))
+        inst.scores = np.array([0.9], np.float32)
+        inst.pred_classes = np.array([0], np.int64)
+        masks = np.zeros((1, 64, 64), np.uint8)
+        masks[0, 15:35, 15:35] = 1
+        inst.pred_masks = masks
+        v = Visualizer(self._img(), instance_mode=ColorMode.IMAGE_BW)
+        out = v.draw_instance_predictions(inst)
+        assert out.get_image().shape[-1] == 3
+
+    def test_brightness_and_jitter(self):
+        from fsgd_tpu.utils.visualizer import Visualizer
+
+        v = Visualizer(self._img())
+        lighter = v._change_color_brightness((0.2, 0.4, 0.6), 0.7)
+        assert all(0 <= c <= 1 for c in lighter)
+        j = v._jitter((0.5, 0.5, 0.5))
+        assert len(j) == 3
