@@ -193,6 +193,98 @@ class CompoundVisualizer:
         return image_bgr
 
 
+# -- ground-truth data visualizers (reference vis/densepose.py:486-590) ------
+
+
+class DensePoseDataCoarseSegmentationVisualizer:
+    """GT coarse segmentation over its box (reference vis/densepose.py:486-511).
+
+    data: (boxes_xywh, [DensePoseDataRelative]) pairs."""
+
+    def __init__(self, inplace=True, alpha=0.7):
+        from .structures import DensePoseDataRelative
+
+        self.mask_visualizer = MatrixVisualizer(
+            inplace=inplace, val_scale=255.0 / DensePoseDataRelative.N_BODY_PARTS, alpha=alpha
+        )
+
+    def visualize(self, image_bgr, bbox_densepose_datas):
+        import cv2
+
+        if bbox_densepose_datas is None:
+            return image_bgr
+        for bbox_xywh, dp in zip(*bbox_densepose_datas):
+            if dp is None:
+                continue
+            x, y, w, h = [int(v) for v in bbox_xywh]
+            matrix = cv2.resize(
+                dp.segm.astype(np.float32), (max(w, 1), max(h, 1)),
+                interpolation=cv2.INTER_NEAREST,
+            )
+            self.mask_visualizer.visualize(image_bgr, (matrix > 0).astype(np.uint8), matrix, bbox_xywh)
+        return image_bgr
+
+
+class DensePoseDataPointsVisualizer:
+    """GT annotated points, optionally colored by a per-point value
+    (reference vis/densepose.py:514-590)."""
+
+    def __init__(self, densepose_data_to_value_fn=None):
+        self.to_value = densepose_data_to_value_fn
+
+    def visualize(self, image_bgr, bbox_densepose_datas):
+        import cv2
+
+        if bbox_densepose_datas is None:
+            return image_bgr
+        for bbox_xywh, dp in zip(*bbox_densepose_datas):
+            if dp is None:
+                continue
+            x0, y0, w, h = bbox_xywh
+            xs = dp.x * w / 256.0 + x0
+            ys = dp.y * h / 256.0 + y0
+            if self.to_value is None:
+                colors = [(0, 255, 0)] * len(xs)
+            else:
+                vals = (np.clip(self.to_value(dp), 0, 1) * 255).astype(np.uint8)
+                cmapped = cv2.applyColorMap(vals.reshape(-1, 1), cv2.COLORMAP_PARULA)
+                colors = [tuple(int(c) for c in cmapped[k, 0]) for k in range(len(vals))]
+            for px, py, color in zip(xs, ys, colors):
+                cv2.circle(image_bgr, (int(px), int(py)), 2, color, -1)
+        return image_bgr
+
+
+class DensePoseDataPointsUVisualizer(DensePoseDataPointsVisualizer):
+    def __init__(self):
+        super().__init__(lambda dp: dp.u)
+
+
+class DensePoseDataPointsVVisualizer(DensePoseDataPointsVisualizer):
+    def __init__(self):
+        super().__init__(lambda dp: dp.v)
+
+
+class DensePoseDataPointsIVisualizer(DensePoseDataPointsVisualizer):
+    def __init__(self):
+        from .structures import DensePoseDataRelative
+
+        super().__init__(lambda dp: dp.i / DensePoseDataRelative.N_PART_LABELS)
+
+
+class BoundingBoxVisualizer:
+    """Plain boxes (reference vis/bounding_box.py:8-20)."""
+
+    def visualize(self, image_bgr, boxes_xywh):
+        import cv2
+
+        if boxes_xywh is None:
+            return image_bgr
+        for bbox in boxes_xywh:
+            x, y, w, h = [int(v) for v in bbox]
+            cv2.rectangle(image_bgr, (x, y), (x + w, y + h), (0, 255, 0), 1)
+        return image_bgr
+
+
 # -- extractors (reference vis/extractor.py:24-152) --------------------------
 
 

@@ -353,3 +353,38 @@ class TestConfigs:
         register_densepose_datasets()
         assert "densepose_coco_2014_train" in DatasetCatalog
         register_densepose_datasets()  # idempotent
+
+
+class TestQueryDB:
+    def test_entry_selector(self):
+        sys_path_add = os.path.join(os.path.dirname(__file__), "..", "tools")
+        import sys
+
+        if sys_path_add not in sys.path:
+            sys.path.insert(0, sys_path_add)
+        from query_db import EntrySelector
+
+        sel = EntrySelector.from_string("*")
+        assert sel({"anything": 1})
+        sel = EntrySelector.from_string("image_id:int=18-100")
+        assert sel({"image_id": 50}) and not sel({"image_id": 101})
+        sel = EntrySelector.from_string("file_name=a.jpg,image_id:int=3")
+        assert sel({"file_name": "a.jpg", "image_id": 3})
+        assert not sel({"file_name": "b.jpg", "image_id": 3})
+
+    def test_gt_data_visualizers(self):
+        from fsgd_tpu.projects.densepose.vis import (
+            BoundingBoxVisualizer,
+            DensePoseDataCoarseSegmentationVisualizer,
+            DensePoseDataPointsUVisualizer,
+        )
+
+        dp = DensePoseDataRelative(_toy_dp_annotation())
+        img = np.full((128, 128, 3), 100, np.uint8)
+        boxes = [np.array([10.0, 20.0, 60.0, 80.0])]
+        out = DensePoseDataCoarseSegmentationVisualizer().visualize(img.copy(), (boxes, [dp]))
+        assert not np.array_equal(out, img)
+        out = DensePoseDataPointsUVisualizer().visualize(img.copy(), (boxes, [dp]))
+        assert out.shape == img.shape
+        out = BoundingBoxVisualizer().visualize(img.copy(), boxes)
+        assert not np.array_equal(out, img)

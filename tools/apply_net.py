@@ -155,7 +155,7 @@ def main():
     p_dump.add_argument("model", metavar="<model>")
     p_dump.add_argument("input", metavar="<input>")
     p_dump.add_argument("--output", default="results.pkl")
-    p_dump.add_argument("opts", default=[], nargs=argparse.REMAINDER)
+    p_dump.add_argument("opts", default=[], nargs="*")
     p_dump.set_defaults(func=command_dump)
 
     p_show = sub.add_parser("show", help="Visualize selected entries")
@@ -165,7 +165,7 @@ def main():
     p_show.add_argument("visualizations", metavar="<visualizations>")
     p_show.add_argument("--min_score", default=0.8, type=float)
     p_show.add_argument("--output", default="outputres.png")
-    p_show.add_argument("opts", default=[], nargs=argparse.REMAINDER)
+    p_show.add_argument("opts", default=[], nargs="*")
     p_show.set_defaults(func=command_show)
 
     args = parser.parse_args()
