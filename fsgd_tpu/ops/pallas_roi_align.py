@@ -10,7 +10,17 @@ Traffic drops to (windows read once) + (pooled tiles written once).
 The interpolation banks Wy/Wx and window origins are computed outside
 (vectorized, cheap); boxes are stop-gradiented upstream (proposals carry no
 box gradient in the reference either), so the custom VJP only passes
-gradients to the feature pyramid — via the XLA scatter formulation.
+gradients to the feature pyramid.
+
+Both directions are bandwidth-shaped Pallas kernels with cross-program
+double-buffered DMA (the TPU grid runs sequentially on one core, so scratch
+persists across steps and program i prefetches roi i+1's window):
+ - forward: window DMA -> two separable MXU contractions -> pooled tile;
+ - backward: read-modify-write accumulation of dWin = Wy^T g Wx into the
+   dPacked buffer in HBM.  XLA's scatter-add serializes overlapping block
+   updates (~4x over BW); sequential grid programs make RMW race-free, and
+   a host-precomputed conflict flag serializes only genuinely overlapping
+   consecutive windows.
 """
 
 from __future__ import annotations
@@ -28,24 +38,40 @@ __all__ = ["roi_align_windows_pallas"]
 def _make_kernel(window: int, ph: int, c: int):
     wx_cols = window + 8  # column origins are 8-aligned; window is 8 wider
 
-    def kernel(starts_ref, packed_ref, wy_ref, wx_ref, out_ref, win_scratch, sem):
-        b = starts_ref[0, 0, 0]
-        r0 = starts_ref[0, 0, 1]
-        c0 = starts_ref[0, 0, 2]
-        c0 = pl.multiple_of(c0, 8)
-        dma = pltpu.make_async_copy(
-            packed_ref.at[b, pl.ds(r0, window), pl.ds(c0, wx_cols), :],
-            win_scratch,
-            sem,
-        )
-        dma.start()
-        dma.wait()
-        win = win_scratch[:].astype(jnp.float32).reshape(window, wx_cols * c)
+    def kernel(starts_ref, packed_ref, wy_ref, wx_ref, out_ref, win_scratch, sems):
+        # Cross-program double buffering: the grid runs sequentially on one
+        # core and scratch persists across steps, so program i issues the DMA
+        # for roi i+1 before contracting roi i — window reads overlap the
+        # matmuls instead of serializing (the original start();wait() per roi
+        # left the MXU idle for the full DMA latency, ~4096x).
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def dma_for(slot, idx):
+            b = starts_ref[0, idx]
+            r0 = starts_ref[1, idx]
+            c0 = pl.multiple_of(starts_ref[2, idx], 8)
+            return pltpu.make_async_copy(
+                packed_ref.at[b, pl.ds(r0, window), pl.ds(c0, wx_cols), :],
+                win_scratch.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(i == 0)
+        def _():
+            dma_for(0, 0).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            dma_for((i + 1) % 2, i + 1).start()
+
+        dma_for(i % 2, i).wait()
+        win = win_scratch[i % 2].astype(jnp.float32).reshape(window, wx_cols * c)
         wy = wy_ref[0]  # (ph, window)
         t = jax.lax.dot_general(
             wy, win, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).reshape(ph, wx_cols, c)
-        wx = wx_ref[0]  # (ph, window)
+        wx = wx_ref[0]  # (ph, wx_cols)
         for p in range(ph):
             out_ref[0, p] = jax.lax.dot_general(
                 wx, t[p], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -58,20 +84,21 @@ def _make_kernel(window: int, ph: int, c: int):
 def _forward(packed, starts, wy, wx, window: int, ph: int, interpret: bool = False):
     n = starts.shape[0]
     c = packed.shape[-1]
-    # per-program (1, 3) SMEM block for the window origin: keeps SMEM usage
-    # at a few bytes per step instead of the whole (N, 3) table
-    grid_spec = pl.GridSpec(
+    # the full origin table rides in SMEM via scalar prefetch so any program
+    # can address the NEXT roi's window for the double buffer; transposed to
+    # (3, N) because SMEM pads the minor dimension to the 128-lane width
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # packed stays in HBM
-            pl.BlockSpec((1, ph, window), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, ph, window + 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, ph, window), lambda i, starts: (i, 0, 0)),
+            pl.BlockSpec((1, ph, window + 8), lambda i, starts: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, ph, ph, c), lambda i: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, ph, ph, c), lambda i, starts: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((window, window + 8, c), packed.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, window, window + 8, c), packed.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -79,7 +106,7 @@ def _forward(packed, starts, wy, wx, window: int, ph: int, interpret: bool = Fal
         out_shape=jax.ShapeDtypeStruct((n, ph, ph, c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts.reshape(n, 1, 3), packed, wy, wx)
+    )(starts.T, packed, wy, wx)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -98,46 +125,138 @@ def _fwd(packed, starts, wy, wx, window, ph, interpret):
     return out, (packed, starts, wy, wx)
 
 
+def _make_bwd_kernel(window: int, ph: int, c: int):
+    wx_cols = window + 8
+
+    def kernel(starts_ref, g_ref, wy_ref, wx_ref, acc_in_ref, acc_ref, win_scratch, rsems, wsems):
+        # acc_in_ref is the zero-initialized operand aliased onto acc_ref
+        # (input_output_aliases) — all access goes through acc_ref
+        del acc_in_ref
+        """Sequential read-modify-write accumulation of dWin into dPacked.
+
+        XLA's scatter-add with overlapping block updates serializes per
+        update (~4x slower than HBM bandwidth allows).  TPU grid programs
+        run sequentially on one core, so read-add-write into HBM is
+        race-free; double-buffered DMA keeps it bandwidth-bound.  The only
+        hazard is roi i reading a window that roi i-1's in-flight write
+        touches — the host precomputes a conflict flag (starts row 3) and
+        the kernel serializes exactly those cases.
+        """
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def window_ref(idx):
+            b = starts_ref[0, idx]
+            r0 = starts_ref[1, idx]
+            c0 = pl.multiple_of(starts_ref[2, idx], 8)
+            return acc_ref.at[b, pl.ds(r0, window), pl.ds(c0, wx_cols), :]
+
+        def read_dma(slot, idx):
+            return pltpu.make_async_copy(window_ref(idx), win_scratch.at[slot], rsems.at[slot])
+
+        def write_dma(slot, idx):
+            return pltpu.make_async_copy(win_scratch.at[slot], window_ref(idx), wsems.at[slot])
+
+        slot = i % 2
+
+        @pl.when(i == 0)
+        def _():
+            read_dma(0, 0).start()
+
+        read_dma(slot, i).wait()
+
+        # dwin = Wy^T g Wx added into the read window
+        g2 = g_ref[0].reshape(ph, ph * c)
+        a = jax.lax.dot_general(
+            wy_ref[0], g2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).reshape(window, ph, c)
+        wx = wx_ref[0]  # (ph, wx_cols)
+        acc = win_scratch[slot]
+        for q in range(ph):
+            acc += a[:, q, :][:, None, :] * wx[q][None, :, None]
+        win_scratch[slot] = acc
+
+        write_dma(slot, i).start()
+
+        # Outstanding-write bookkeeping (each write sem waited exactly once):
+        #   write(i-1) is waited by program i-1 itself iff conflict[i]
+        #   (hazard: read(i) would race it); otherwise program i waits it
+        #   before read(i+1) reuses that scratch slot.
+        @pl.when(i + 1 < n)
+        def _():
+            @pl.when((i >= 1) & (starts_ref[3, i] == 0))
+            def _():
+                write_dma(1 - slot, i - 1).wait()
+
+            @pl.when(starts_ref[3, i + 1] != 0)
+            def _():
+                write_dma(slot, i).wait()
+
+            read_dma((i + 1) % 2, i + 1).start()
+
+        @pl.when(i + 1 >= n)
+        def _():
+            @pl.when((i >= 1) & (starts_ref[3, i] == 0))
+            def _():
+                write_dma(1 - slot, i - 1).wait()
+
+            write_dma(slot, i).wait()
+
+    return kernel
+
+
+def _conflict_flags(starts, window):
+    """flag[i] = roi i's window intersects roi i-1's (same batch, overlapping
+    rows and columns in the packed frame)."""
+    b, r0, c0 = starts[:, 0], starts[:, 1], starts[:, 2]
+    prev = jnp.roll(starts, 1, axis=0)
+    same_b = b == prev[:, 0]
+    rows = jnp.abs(r0 - prev[:, 1]) < window
+    cols = jnp.abs((c0 // 8) * 8 - (prev[:, 2] // 8) * 8) < window + 8
+    flags = (same_b & rows & cols).astype(jnp.int32)
+    return flags.at[0].set(0)
+
+
+@partial(jax.jit, static_argnames=("window", "ph", "interpret"))
+def _backward(g, starts, wy, wx, packed_shape_dtype, window: int, ph: int, interpret: bool = False):
+    n = starts.shape[0]
+    c = packed_shape_dtype.shape[-1]
+    acc0 = jnp.zeros(packed_shape_dtype.shape, jnp.float32)
+    table = jnp.concatenate([starts, _conflict_flags(starts, window)[:, None]], axis=1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, ph, ph, c), lambda i, t: (i, 0, 0, 0)),
+            pl.BlockSpec((1, ph, window), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, ph, window + 8), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # accumulator stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, window + 8, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    acc = pl.pallas_call(
+        _make_bwd_kernel(window, ph, c),
+        out_shape=jax.ShapeDtypeStruct(packed_shape_dtype.shape, jnp.float32),
+        grid_spec=grid_spec,
+        input_output_aliases={4: 0},  # accumulate in place (idx incl. prefetch arg)
+        interpret=interpret,
+    )(table.T, g, wy, wx, acc0)
+    return acc.astype(packed_shape_dtype.dtype)
+
+
 def _bwd(window, ph, interpret, res, g):
     packed, starts, wy, wx = res
-    n = starts.shape[0]
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2, 3),
-        inserted_window_dims=(0,),
-        scatter_dims_to_operand_dims=(0, 1, 2),
+    dpacked = _backward(
+        g, starts, wy, wx,
+        jax.ShapeDtypeStruct(packed.shape, packed.dtype),
+        window, ph, interpret,
     )
-
-    # dWin[n] = Wy[n]^T @ g[n] @ Wx[n] -> scatter-add windows into dPacked;
-    # chunked scan keeps the dWin intermediate bounded
-    chunk = min(256, n)
-    pad = (-n) % chunk
-    if pad:
-        starts = jnp.pad(starts, ((0, pad), (0, 0)))
-        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
-        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
-        g = jnp.pad(g, ((0, pad), (0, 0), (0, 0), (0, 0)))
-
-    def body(acc, args):
-        st, wy_c, wx_c, g_c = args
-        t = jnp.einsum("npw,npqc->nwqc", wy_c, g_c, preferred_element_type=jnp.float32)
-        dwin = jnp.einsum("nwqc,nqv->nwvc", t, wx_c, preferred_element_type=jnp.float32)
-        acc = jax.lax.scatter_add(
-            acc, st, dwin, dnums, mode=jax.lax.GatherScatterMode.CLIP
-        )
-        return acc, None
-
-    acc0 = jnp.zeros(packed.shape, jnp.float32)
-    acc, _ = jax.lax.scan(
-        body,
-        acc0,
-        (
-            starts.reshape(-1, chunk, 3),
-            wy.reshape(-1, chunk, *wy.shape[1:]),
-            wx.reshape(-1, chunk, *wx.shape[1:]),
-            g.reshape(-1, chunk, *g.shape[1:]),
-        ),
-    )
-    return acc.astype(packed.dtype), None, None, None
+    return dpacked, None, None, None
 
 
 roi_align_windows_pallas.defvjp(_fwd, _bwd)

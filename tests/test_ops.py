@@ -400,3 +400,89 @@ class TestRoIPool:
         out = pooler(feats, jnp.asarray(boxes))
         assert out.shape == (2, 2, 7, 7, 4)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestPallasRoiAlign:
+    """Pipelined Pallas windowed ROIAlign == XLA gather formulation
+    (interpret mode; fsgd_tpu/ops/pallas_roi_align.py)."""
+
+    def test_interpret_matches_xla_windows(self):
+        from fsgd_tpu.ops.roi_align_packed import (
+            _window_meta,
+            _xla_windows,
+            pack_feature_pyramid,
+        )
+        from fsgd_tpu.ops.pallas_roi_align import roi_align_windows_pallas
+
+        rng = np.random.RandomState(0)
+        window, ph = 16, 7
+        feats = [
+            jnp.asarray(rng.randn(2, 32, 40, 8).astype(np.float32)),
+            jnp.asarray(rng.randn(2, 16, 20, 8).astype(np.float32)),
+        ]
+        packed, row_offsets, heights, widths = pack_feature_pyramid(feats, window)
+        n = 12
+        boxes = np.zeros((n, 4), np.float32)
+        boxes[:, 0] = rng.uniform(0, 100, n)
+        boxes[:, 1] = rng.uniform(0, 80, n)
+        boxes[:, 2] = boxes[:, 0] + rng.uniform(8, 40, n)
+        boxes[:, 3] = boxes[:, 1] + rng.uniform(8, 40, n)
+        levels = jnp.asarray(rng.randint(0, 2, n), jnp.int32)
+        batch_idx = jnp.asarray(rng.randint(0, 2, n), jnp.int32)
+        starts, wy, wx = _window_meta(
+            batch_idx, jnp.asarray(boxes), levels,
+            jnp.asarray(row_offsets, jnp.int32), jnp.asarray(heights, jnp.int32),
+            jnp.asarray(widths, jnp.int32), jnp.asarray([0.25, 0.125], jnp.float32),
+            ph, ph, 2, window, True,
+        )
+        want = np.asarray(_xla_windows(packed, starts, wy, wx, window, 4))
+        got = np.asarray(
+            roi_align_windows_pallas(packed, starts, wy, wx, window, ph, True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_interpret_vjp_matches_xla_grad(self):
+        from fsgd_tpu.ops.roi_align_packed import (
+            _window_meta,
+            _xla_windows,
+            pack_feature_pyramid,
+        )
+        from fsgd_tpu.ops.pallas_roi_align import roi_align_windows_pallas
+
+        rng = np.random.RandomState(1)
+        window, ph = 16, 7
+        feats = [
+            jnp.asarray(rng.randn(2, 32, 40, 8).astype(np.float32)),
+            jnp.asarray(rng.randn(2, 16, 20, 8).astype(np.float32)),
+        ]
+        packed, row_offsets, heights, widths = pack_feature_pyramid(feats, window)
+        n = 10
+        boxes = np.zeros((n, 4), np.float32)
+        boxes[:, 0] = rng.uniform(0, 100, n)
+        boxes[:, 1] = rng.uniform(0, 80, n)
+        boxes[:, 2] = boxes[:, 0] + rng.uniform(8, 40, n)
+        boxes[:, 3] = boxes[:, 1] + rng.uniform(8, 40, n)
+        # duplicate a box so overlapping (conflicting) windows are exercised
+        boxes[5] = boxes[4]
+        levels = jnp.asarray(rng.randint(0, 2, n), jnp.int32)
+        levels = levels.at[5].set(levels[4])
+        batch_idx = jnp.asarray(rng.randint(0, 2, n), jnp.int32)
+        batch_idx = batch_idx.at[5].set(batch_idx[4])
+        starts, wy, wx = _window_meta(
+            batch_idx, jnp.asarray(boxes), levels,
+            jnp.asarray(row_offsets, jnp.int32), jnp.asarray(heights, jnp.int32),
+            jnp.asarray(widths, jnp.int32), jnp.asarray([0.25, 0.125], jnp.float32),
+            ph, ph, 2, window, True,
+        )
+
+        def loss_pallas(p):
+            out = roi_align_windows_pallas(p, starts, wy, wx, window, ph, True)
+            return jnp.sum(out * out)
+
+        def loss_xla(p):
+            out = _xla_windows(p, starts, wy, wx, window, 4)
+            return jnp.sum(out * out)
+
+        g_pallas = jax.grad(loss_pallas)(packed)
+        g_xla = jax.grad(loss_xla)(packed)
+        np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-4, atol=1e-4)
