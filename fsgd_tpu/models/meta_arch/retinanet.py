@@ -353,9 +353,14 @@ class RetinaNet(DetectorBase):
         def single_image(cls_levels, reg_levels):
             boxes_all, scores_all, classes_all, valid_all = [], [], [], []
             for cls_i, reg_i, anchors_i in zip(cls_levels, reg_levels, anchor_tensors):
-                scores = jax.nn.sigmoid(cls_i).reshape(-1)  # (HWA*K,)
-                k = min(self.topk_candidates, scores.shape[0])
-                top_scores, top_idx = jax.lax.top_k(scores, k)
+                # top-k on raw logits (sigmoid is monotonic): avoids
+                # materializing HWA*K fp32 probabilities per level — the
+                # batched decode otherwise peaks multiple GB and the
+                # selected-k sigmoid is exact
+                logits = cls_i.reshape(-1)  # (HWA*K,)
+                k = min(self.topk_candidates, logits.shape[0])
+                top_logits, top_idx = jax.lax.top_k(logits, k)
+                top_scores = jax.nn.sigmoid(top_logits.astype(jnp.float32))
                 keep = top_scores > self.score_threshold
                 anchor_idx = top_idx // self.num_classes
                 class_idx = top_idx % self.num_classes
@@ -383,7 +388,22 @@ class RetinaNet(DetectorBase):
                 "valid": det_valid,
             }
 
-        dets = jax.vmap(single_image)(cls_per_level, reg_per_level)
+        # decode in sub-batches: the per-level (HWA*K) candidate buffers and
+        # top-k workspace peak ~GBs fully vmapped at batch 8 (HBM overflow);
+        # lax.map over pairs bounds the transient at 2 images' worth
+        b = batch["image"].shape[0]
+        chunk = 2 if b % 2 == 0 else 1
+        if b > chunk:
+            stacked = (
+                [x.reshape(b // chunk, chunk, *x.shape[1:]) for x in cls_per_level],
+                [x.reshape(b // chunk, chunk, *x.shape[1:]) for x in reg_per_level],
+            )
+            dets = jax.lax.map(
+                lambda t: jax.vmap(single_image)(t[0], t[1]), stacked
+            )
+            dets = {k: v.reshape(b, *v.shape[2:]) for k, v in dets.items()}
+        else:
+            dets = jax.vmap(single_image)(cls_per_level, reg_per_level)
         dets = scale_detections(dets, batch["image_size"], batch["out_size"])
         raw_preds = {
             "pred_class_logits": cat_levels_N_sumHWA_K(box_cls, self.num_classes),

@@ -217,7 +217,7 @@ def _conflict_flags(starts, window):
     return flags.at[0].set(0)
 
 
-@partial(jax.jit, static_argnames=("window", "ph", "interpret"))
+@partial(jax.jit, static_argnames=("packed_shape_dtype", "window", "ph", "interpret"))
 def _backward(g, starts, wy, wx, packed_shape_dtype, window: int, ph: int, interpret: bool = False):
     n = starts.shape[0]
     c = packed_shape_dtype.shape[-1]
