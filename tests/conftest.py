@@ -12,7 +12,11 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in _flags:
+    # loaded hosts can stagger collective thread arrival past the 40s default
+    _flags = (_flags + " --xla_cpu_collective_call_terminate_timeout_seconds=600").strip()
+os.environ["XLA_FLAGS"] = _flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
