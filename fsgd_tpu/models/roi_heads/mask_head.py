@@ -96,22 +96,56 @@ def crop_gt_masks_batched(
     """Crop each roi's matched GT mask to (B, N, M, M) WITHOUT materializing
     per-roi full-resolution masks.
 
-    The naive path (`take_along_axis` then `crop_gt_masks`) copies a full
-    (MH, MW) mask per roi — ~275 MB of HBM traffic for batch 8 x 128 fg rois
-    at stride 4 on 800x1344 inputs, which dominated the Mask R-CNN train
-    step.  Here the (B*G) mask stack is the roi_align source directly and
-    each roi addresses its mask via the flat batch index b*G + gt_idx, so
-    only the bilinear taps (~50 MB) are ever read.
+    Gather-free TPU design: every gather formulation of this crop (per-roi
+    mask copies, C=1 roi_align, even channel-packed roi_align) lowers to XLA
+    gathers the TPU runs at < 1 GB/s — profiled at ~250 ms/step for batch 8
+    x 128 fg rois on the stride-4 stack.  ROIAlign is separable, so instead
+    each roi's crop is two DENSE interpolation matmuls against the full mask
+    plane with the G masks as channels:
+
+        crops[n] = Wy[n] (M, MH)  @  masks_b (MH, MW*G)  -> contract cols
+    then select the matched mask by one-hot contraction.  ~250 GFLOP of
+    MXU-shaped matmuls (a few ms) replaces the gathers; lax.map over images
+    bounds the (N*M, MW*G) intermediate to one image's worth.
     """
     b, g, mh, mw = batch_masks.shape
     n = boxes.shape[1]
-    feats = batch_masks.reshape(b * g, mh, mw, 1).astype(jnp.float32)
-    flat_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * g + gt_idx.astype(jnp.int32))
-    rois = jnp.concatenate(
-        [flat_idx.reshape(b * n, 1).astype(boxes.dtype), boxes.reshape(b * n, 4)], axis=1
-    )
-    out = roi_align(feats, rois, (mask_size, mask_size), 1.0 / mask_stride, 2, True)
-    return out[..., 0].reshape(b, n, mask_size, mask_size)
+    m = mask_size
+    scale = 1.0 / mask_stride
+    sampling = 2
+
+    from fsgd_tpu.ops.roi_align_packed import _interp_weights as _iw
+
+    def bank(lo, hi, size):
+        x1 = lo * scale - 0.5
+        x2 = hi * scale - 0.5
+        bin_sz = (x2 - x1) / m
+        j = jnp.arange(m, dtype=jnp.float32)[None, :, None]
+        s = jnp.arange(sampling, dtype=jnp.float32)[None, None, :]
+        pos = x1.reshape(-1)[:, None, None] + (j + (s + 0.5) / sampling) * bin_sz.reshape(-1)[:, None, None]
+        valid = ((pos > -1.0) & (pos < size)).astype(jnp.float32)
+        w = jax.vmap(_iw, in_axes=(0, 0, None, None, None))(
+            pos, valid, jnp.float32(0.0), jnp.float32(size), size
+        )
+        return (w / sampling).reshape(b, n, m, size)
+
+    wy = bank(boxes[..., 1], boxes[..., 3], mh)  # (B, N, M, MH), carries 1/s
+    wx = bank(boxes[..., 0], boxes[..., 2], mw)  # (B, N, M, MW), carries 1/s
+
+    masks_f = batch_masks.transpose(0, 2, 3, 1).astype(jnp.float32)  # (B, MH, MW, G)
+    onehot = jax.nn.one_hot(gt_idx.astype(jnp.int32), g, dtype=jnp.float32)  # (B, N, G)
+
+    def per_image(args):
+        wy_b, wx_b, m_b, oh_b = args  # (N,M,MH), (N,M,MW), (MH,MW,G), (N,G)
+        # stage 1: contract rows — (N*M, MH) @ (MH, MW*G)
+        t = wy_b.reshape(n * m, mh) @ m_b.reshape(mh, mw * g)
+        t = t.reshape(n, m, mw, g)
+        # select the matched mask before the second contraction (shrinks it G-fold)
+        t = jnp.einsum("nmwg,ng->nmw", t, oh_b)
+        # stage 2: contract cols per roi — (N, M, MW) x (N, M, MW) -> (N, M, M)
+        return jnp.einsum("npw,nqw->npq", t, wx_b)
+
+    return jax.lax.map(per_image, (wy, wx, masks_f, onehot))
 
 
 def mask_rcnn_loss(
@@ -126,10 +160,13 @@ def mask_rcnn_loss(
     if k == 1:
         per_class = mask_logits[..., 0]
     else:
+        # one-hot contraction, not take_along_axis: the take's VJP is an XLA
+        # scatter of N*M*M rows into (N, M, M, K), which the TPU serializes
+        # (~300ms/step at N=1024, M=28, K=80); the one-hot multiply's VJP is
+        # a dense broadcast — bandwidth-bound
         idx = jnp.clip(gt_classes, 0, k - 1)
-        per_class = jnp.take_along_axis(
-            mask_logits, idx[:, None, None, None], axis=-1
-        )[..., 0]  # (N, M, M)
+        onehot = jax.nn.one_hot(idx, k, dtype=mask_logits.dtype)  # (N, K)
+        per_class = jnp.einsum("nhwk,nk->nhw", mask_logits, onehot)
     targets = (gt_mask_crops >= 0.5).astype(jnp.float32)
     el = sigmoid_cross_entropy(per_class, targets)
     denom = jnp.maximum(jnp.sum(fg_valid) * m * m, 1)
