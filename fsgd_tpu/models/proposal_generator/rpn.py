@@ -151,7 +151,12 @@ class RPN:
             if self.boundary_threshold >= 0:
                 inside = self._inside_image(anchors_cat, image_size, self.boundary_threshold)
                 labels = jnp.where(inside, labels, -1)
-            deltas = self.box2box_transform.get_deltas(anchors_cat, gt_boxes[matched_idxs])
+            # one-hot contraction, not gt_boxes[matched_idxs]: the (R,) gather
+            # of 16-byte rows runs ~10ms/step on TPU; the (R, G) @ (G, 4)
+            # matmul is bandwidth-bound (~1ms)
+            onehot = jax.nn.one_hot(matched_idxs, gt_boxes.shape[0], dtype=gt_boxes.dtype)
+            matched_gt = onehot @ gt_boxes
+            deltas = self.box2box_transform.get_deltas(anchors_cat, matched_gt)
             # resample: everything outside the sample becomes ignore (-1)
             pos_mask, neg_mask = subsample_labels_mask(
                 labels, self.batch_size_per_image, self.positive_fraction, 0, rng_i
