@@ -165,16 +165,18 @@ def _make_bwd_kernel(window: int, ph: int, c: int):
 
         read_dma(slot, i).wait()
 
-        # dwin = Wy^T g Wx added into the read window
+        # dwin = Wy^T g Wx added into the read window (f32 compute, stored in
+        # the accumulator dtype — dPacked is cast to the feature dtype at the
+        # end regardless, so a bf16 accumulator halves the RMW traffic)
         g2 = g_ref[0].reshape(ph, ph * c)
         a = jax.lax.dot_general(
             wy_ref[0], g2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).reshape(window, ph, c)
         wx = wx_ref[0]  # (ph, wx_cols)
-        acc = win_scratch[slot]
-        for q in range(ph):
-            acc += a[:, q, :][:, None, :] * wx[q][None, :, None]
-        win_scratch[slot] = acc
+        dwin = a[:, 0, :][:, None, :] * wx[0][None, :, None]
+        for q in range(1, ph):
+            dwin += a[:, q, :][:, None, :] * wx[q][None, :, None]
+        win_scratch[slot] = win_scratch[slot] + dwin.astype(win_scratch.dtype)
 
         write_dma(slot, i).start()
 
@@ -221,7 +223,8 @@ def _conflict_flags(starts, window):
 def _backward(g, starts, wy, wx, packed_shape_dtype, window: int, ph: int, interpret: bool = False):
     n = starts.shape[0]
     c = packed_shape_dtype.shape[-1]
-    acc0 = jnp.zeros(packed_shape_dtype.shape, jnp.float32)
+    acc_dtype = packed_shape_dtype.dtype
+    acc0 = jnp.zeros(packed_shape_dtype.shape, acc_dtype)
     table = jnp.concatenate([starts, _conflict_flags(starts, window)[:, None]], axis=1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -234,19 +237,19 @@ def _backward(g, starts, wy, wx, packed_shape_dtype, window: int, ph: int, inter
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, window, window + 8, c), jnp.float32),
+            pltpu.VMEM((2, window, window + 8, c), acc_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     acc = pl.pallas_call(
         _make_bwd_kernel(window, ph, c),
-        out_shape=jax.ShapeDtypeStruct(packed_shape_dtype.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(packed_shape_dtype.shape, acc_dtype),
         grid_spec=grid_spec,
         input_output_aliases={4: 0},  # accumulate in place (idx incl. prefetch arg)
         interpret=interpret,
     )(table.T, g, wy, wx, acc0)
-    return acc.astype(packed_shape_dtype.dtype)
+    return acc
 
 
 def _bwd(window, ph, interpret, res, g):
