@@ -252,6 +252,11 @@ _DEFAULTS = dict(
         # GT instance bitmasks are shipped at input_resolution / GT_MASK_STRIDE
         # and cropped on device (replaces host-side polygon rasterization).
         GT_MASK_STRIDE=4,
+        # Use jax.lax.approx_max_k (recall ~0.99) for dense-decode candidate
+        # selection (RetinaNet HWA*K top-k): the exact TPU sort of the
+        # candidate tensor costs ~150 ms/batch.  Set False for bit-exact
+        # reference parity (quick_schedules inference_acc configs do).
+        APPROX_TOPK=True,
         # Device mesh axis names/sizes; -1 means "all available devices".
         MESH_AXES=["data"],
         MESH_SHAPE=[-1],

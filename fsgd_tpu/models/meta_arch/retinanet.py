@@ -157,6 +157,7 @@ class RetinaNet(DetectorBase):
         self.smooth_l1_loss_beta = cfg.MODEL.RETINANET.SMOOTH_L1_LOSS_BETA
         self.score_threshold = cfg.MODEL.RETINANET.SCORE_THRESH_TEST
         self.topk_candidates = cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST
+        self.approx_topk = cfg.TPU.get("APPROX_TOPK", True)
         self.nms_threshold = cfg.MODEL.RETINANET.NMS_THRESH_TEST
         self.max_detections_per_image = cfg.TEST.DETECTIONS_PER_IMAGE
 
@@ -359,7 +360,15 @@ class RetinaNet(DetectorBase):
                 # selected-k sigmoid is exact
                 logits = cls_i.reshape(-1)  # (HWA*K,)
                 k = min(self.topk_candidates, logits.shape[0])
-                top_logits, top_idx = jax.lax.top_k(logits, k)
+                if self.approx_topk and k < logits.shape[0]:
+                    # exact TPU sort of the (HWA*K,) candidate tensor costs
+                    # ~150 ms/batch; approx_max_k at recall 0.99 only risks
+                    # the low-score candidate tail (TPU.APPROX_TOPK)
+                    top_logits, top_idx = jax.lax.approx_max_k(
+                        logits, k, recall_target=0.99
+                    )
+                else:
+                    top_logits, top_idx = jax.lax.top_k(logits, k)
                 top_scores = jax.nn.sigmoid(top_logits.astype(jnp.float32))
                 keep = top_scores > self.score_threshold
                 anchor_idx = top_idx // self.num_classes
