@@ -254,9 +254,10 @@ _DEFAULTS = dict(
         GT_MASK_STRIDE=4,
         # Use jax.lax.approx_max_k (recall ~0.99) for dense-decode candidate
         # selection (RetinaNet HWA*K top-k): the exact TPU sort of the
-        # candidate tensor costs ~150 ms/batch.  Set False for bit-exact
-        # reference parity (quick_schedules inference_acc configs do).
-        APPROX_TOPK=True,
+        # candidate tensor costs ~150 ms/batch.  Default False = bit-exact
+        # reference decode semantics; the bench configs opt in explicitly
+        # (VERDICT round-2 item 7: default-exact, fast path opt-in).
+        APPROX_TOPK=False,
         # Device mesh axis names/sizes; -1 means "all available devices".
         MESH_AXES=["data"],
         MESH_SHAPE=[-1],

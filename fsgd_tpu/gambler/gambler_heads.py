@@ -230,8 +230,9 @@ class LayeredUnetGambler(GamblerBase):
     def init_params(self, rng, image_hw: Tuple[int, int], batch: int = 1):
         """Initialize with dummy inputs at the given padded input size."""
         h, w = image_hw
-        hs = [max(h // s, 1) for s in (8, 16, 32, 64, 128)]
-        ws = [max(w // s, 1) for s in (8, 16, 32, 64, 128)]
+        strides = (8, 16, 32, 64, 128)[: len(self.in_layers)]
+        hs = [max(h // s, 1) for s in strides]
+        ws = [max(w // s, 1) for s in strides]
         dummy_levels = [
             jnp.zeros((batch, hh, www, self.in_channels), jnp.float32) for hh, www in zip(hs, ws)
         ]

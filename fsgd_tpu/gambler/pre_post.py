@@ -50,8 +50,11 @@ class PostGamblerPredictions(nn.Module):
 
     @nn.compact
     def __call__(self, layered_output: List[jnp.ndarray]) -> List[jnp.ndarray]:
-        # layered_output = [p7(1024ch), p6(512), p5(256), p4(128), p3(64)]
-        names = ["p7", "p6", "p5", "p4", "p3"]
+        # layered_output is deepest-first, e.g. [p7(1024ch), p6(512), p5(256),
+        # p4(128), p3(64)] for the 5-scale pyramid; names stay p3.. for any N
+        # so 5-scale checkpoints are unchanged.
+        n = len(layered_output)
+        names = ["p{}".format(3 + i) for i in range(n)][::-1]
         outs = {}
         for name, feat in zip(names, layered_output):
             outs[name] = nn.Conv(
@@ -62,7 +65,7 @@ class PostGamblerPredictions(nn.Module):
                 param_dtype=jnp.float32,
                 name=name,
             )(feat)
-        return [jax.nn.sigmoid(outs[n]) for n in ["p3", "p4", "p5", "p6", "p7"]]
+        return [jax.nn.sigmoid(outs[nm]) for nm in sorted(outs)]
 
 
 class PreGamblerImage(nn.Module):

@@ -181,31 +181,40 @@ class UNet(nn.Module):
 
 
 class LayeredUnet(nn.Module):
-    """U-Net over five FPN scales: each Down concatenates that level's
-    prediction map; returns all decoder levels [p7, p6, p5, p4, p3]
-    (reference unet.py:59-143)."""
+    """U-Net over N FPN scales: each Down concatenates that level's
+    prediction map; returns all decoder levels deepest-first, e.g.
+    [p7, p6, p5, p4, p3] for the production 5-scale pyramid
+    (reference unet.py:59-143, fixed at five scales there; generalized to
+    ``len(layered_x)`` scales with the same names/channels for N=5 so
+    5-scale checkpoints are unchanged)."""
 
     img_channels: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, layered_x: List[jnp.ndarray], image: Optional[jnp.ndarray]):
+        n = len(layered_x)
+        assert n >= 2, "LayeredUnet needs at least two pyramid scales"
         if image is None:
-            x1 = DoubleConv(64, self.dtype, name="inc")(layered_x[0])
+            x = DoubleConv(64, self.dtype, name="inc")(layered_x[0])
         else:
             assert image.shape[1:3] == layered_x[0].shape[1:3]
-            x1 = DoubleConv(64, self.dtype, name="inc")(
+            x = DoubleConv(64, self.dtype, name="inc")(
                 jnp.concatenate([layered_x[0], image], axis=-1)
             )
-        x2 = DownCat(128, self.dtype, name="down1")(layered_x[1], x1)
-        x3 = DownCat(256, self.dtype, name="down2")(layered_x[2], x2)
-        x4 = DownCat(512, self.dtype, name="down3")(layered_x[3], x3)
-        x5 = DownCat(1024, self.dtype, name="down4")(layered_x[4], x4)
-        o1 = UpCat(512, self.dtype, name="up1")(x5, x4)
-        o2 = UpCat(256, self.dtype, name="up2")(o1, x3)
-        o3 = UpCat(128, self.dtype, name="up3")(o2, x2)
-        o4 = UpCat(64, self.dtype, name="up4")(o3, x1)
-        return [x5, o1, o2, o3, o4]
+        skips = [x]
+        for i in range(1, n):
+            x = DownCat(min(64 * 2 ** i, 1024), self.dtype, name="down{}".format(i))(
+                layered_x[i], x
+            )
+            skips.append(x)
+        outs = [x]
+        for i in range(1, n):
+            # out channels follow the skip's width (512,256,128,64 for N=5)
+            x = UpCat(max(skips[-1 - i].shape[-1], 64), self.dtype,
+                      name="up{}".format(i))(x, skips[-1 - i])
+            outs.append(x)
+        return outs
 
 
 class UnetSkipConnectionBlock(nn.Module):

@@ -22,6 +22,8 @@ heads) runs in bfloat16 under one jit.
 
 from __future__ import annotations
 
+import logging
+
 from typing import Any, Dict, List, Sequence, Tuple
 
 import flax.linen as nn
@@ -157,7 +159,12 @@ class RetinaNet(DetectorBase):
         self.smooth_l1_loss_beta = cfg.MODEL.RETINANET.SMOOTH_L1_LOSS_BETA
         self.score_threshold = cfg.MODEL.RETINANET.SCORE_THRESH_TEST
         self.topk_candidates = cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST
-        self.approx_topk = cfg.TPU.get("APPROX_TOPK", True)
+        self.approx_topk = cfg.TPU.get("APPROX_TOPK", False)
+        if self.approx_topk:
+            logging.getLogger(__name__).info(
+                "RetinaNet decode: TPU.APPROX_TOPK=True — approx_max_k candidate "
+                "selection (recall ~0.99); set False for exact reference decode."
+            )
         self.nms_threshold = cfg.MODEL.RETINANET.NMS_THRESH_TEST
         self.max_detections_per_image = cfg.TEST.DETECTIONS_PER_IMAGE
 

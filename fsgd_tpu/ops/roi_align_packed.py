@@ -189,6 +189,12 @@ def roi_align_packed(
     ph, pw = output_size
     assert ph == pw, "square pooling only"
     b, p = boxes.shape[:2]
+    # The window never needs to exceed the largest level extent (+2 bilinear
+    # slack, rounded up to the sublane multiple of 8): production pyramids
+    # keep the configured window; tiny images shrink it, cutting the
+    # gather/scatter volume quadratically.
+    max_extent = max(max(f.shape[1], f.shape[2]) for f in features_tuple)
+    window = max(8, min(window, -(-(max_extent + 2) // 8) * 8))
     packed, row_offsets, heights, widths = pack_feature_pyramid(list(features_tuple), window)
     row_offsets = jnp.asarray(row_offsets, jnp.int32)
     heights_a = jnp.asarray(heights, jnp.int32)

@@ -23,6 +23,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 try:
+    # default in-process CPU collectives busy-wait at the rendezvous; on an
+    # oversubscribed host gloo (blocking) is orders of magnitude faster
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+try:
     from jax.extend.backend import clear_backends
 
     clear_backends()
