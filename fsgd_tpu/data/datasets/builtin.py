@@ -20,7 +20,26 @@ _PREDEFINED_SPLITS_COCO = {
     "coco_2017_train": ("coco/train2017", "coco/annotations/instances_train2017.json"),
     "coco_2017_val": ("coco/val2017", "coco/annotations/instances_val2017.json"),
     "coco_2017_test": ("coco/test2017", "coco/annotations/image_info_test2017.json"),
+    "coco_2017_test-dev": ("coco/test2017", "coco/annotations/image_info_test-dev2017.json"),
     "coco_2017_val_100": ("coco/val2017", "coco/annotations/instances_val2017_100.json"),
+    # the fork's imbalance-experiment splits (reference builtin.py:49-63):
+    # toy subsamples, uniform/frequency label noise and the long-tail remap,
+    # produced by build_toy_dataset_coco / build_noisy_label_dataset_coco
+    "coco_2017_train_100samples": ("coco/train2017", "coco/annotations/instances_train2017_100samples.json"),
+    "coco_2017_val_100samples": ("coco/val2017", "coco/annotations/instances_val2017_100samples.json"),
+    "coco_2017_train_8samples": ("coco/train2017", "coco/annotations/instances_train2017_8samples.json"),
+    "coco_2017_train_8_difficult_samples": ("coco/train2017", "coco/annotations/instances_train2017_8_difficult_samples.json"),
+    "coco_2017_train_1percent": ("coco/train2017", "coco/annotations/instances_train2017_1percent.json"),
+    "coco_2017_train_5percent": ("coco/train2017", "coco/annotations/instances_train2017_5percent.json"),
+    "coco_2017_train_10percent": ("coco/train2017", "coco/annotations/instances_train2017_10percent.json"),
+    "coco_2017_train_20percent": ("coco/train2017", "coco/annotations/instances_train2017_20percent.json"),
+    "coco_2017_train_10noise_uniform": ("coco/train2017", "coco/annotations/instances_train2017_10noise_uniform.json"),
+    "coco_2017_train_20noise_uniform": ("coco/train2017", "coco/annotations/instances_train2017_20noise_uniform.json"),
+    "coco_2017_train_50noise_uniform": ("coco/train2017", "coco/annotations/instances_train2017_50noise_uniform.json"),
+    "coco_2017_train_10noise_frequency": ("coco/train2017", "coco/annotations/instances_train2017_10noise_frequency.json"),
+    "coco_2017_train_20noise_frequency": ("coco/train2017", "coco/annotations/instances_train2017_20noise_frequency.json"),
+    "coco_2017_train_50noise_frequency": ("coco/train2017", "coco/annotations/instances_train2017_50noise_frequency.json"),
+    "coco_2017_train_LT": ("coco/train2017", "coco/annotations/instances_train2017_LT.json"),
     "coco_2014_train": ("coco/train2014", "coco/annotations/instances_train2014.json"),
     "coco_2014_val": ("coco/val2014", "coco/annotations/instances_val2014.json"),
     "coco_2014_minival": ("coco/val2014", "coco/annotations/instances_minival2014.json"),

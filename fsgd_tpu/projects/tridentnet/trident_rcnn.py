@@ -102,3 +102,26 @@ class TridentRCNN(GeneralizedRCNN):
         from fsgd_tpu.models.postprocessing import scale_detections
 
         return scale_detections(dets, batch["image_size"], batch["out_size"])
+
+
+# --------------------------------------------------------------------------- #
+# Registry aliases so the reference's config surface resolves unchanged
+# (projects/TridentNet/configs/Base-TridentNet-Fast-C4.yaml names
+# PROPOSAL_GENERATOR "TridentRPN" and ROI_HEADS "TridentRes5ROIHeads").
+# In this TPU design the branch axis is folded into the batch by TridentRCNN
+# (_repeat_gt above), so the per-branch RPN/ROI computation IS the standard
+# RPN / Res5ROIHeads over the stacked batch — the aliases carry no extra code.
+# --------------------------------------------------------------------------- #
+from fsgd_tpu.models.build import PROPOSAL_GENERATOR_REGISTRY, ROI_HEADS_REGISTRY  # noqa: E402
+from fsgd_tpu.models.proposal_generator.rpn import RPN  # noqa: E402
+from fsgd_tpu.models.roi_heads.res5_roi_heads import Res5ROIHeads  # noqa: E402
+
+
+@PROPOSAL_GENERATOR_REGISTRY.register()
+class TridentRPN(RPN):
+    pass
+
+
+@ROI_HEADS_REGISTRY.register()
+class TridentRes5ROIHeads(Res5ROIHeads):
+    pass
