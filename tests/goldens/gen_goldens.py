@@ -1,0 +1,552 @@
+#!/usr/bin/env python
+"""Generate numeric-golden fixtures by RUNNING the reference's pure-torch
+modules (VERDICT round-2 item 3).
+
+The reference's compiled extension (detectron2._C), torchvision and fvcore
+are absent in this environment, so this script installs minimal stand-ins
+first — enough to import ``detectron2.modeling`` from /root/reference and
+execute its *pure-torch* code paths (losses, matchers, box transforms,
+anchor generation, RPN end-to-end).  The fixtures (.npz) are checked in;
+tests/test_goldens.py replays them through the fsgd_tpu implementations and
+asserts parity to 1e-5.
+
+Fixture provenance mirrors the reference's own hardcoded-expectation tests:
+  rpn.npz        — tests/test_rpn.py:16-74 scenario (C4 RPN, 2 images)
+  fast_rcnn.npz  — tests/test_fast_rcnn.py:17-56 (+ rotated variant)
+  matcher.npz    — modeling/matcher.py buckets + low-quality rescue
+  box2box.npz    — modeling/box_regression.py get/apply deltas (+ rotated)
+
+Usage: python tests/goldens/gen_goldens.py   (writes *.npz next to itself)
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+OUT_DIR = os.path.dirname(os.path.abspath(__file__))
+REF = os.environ.get("FSGD_REFERENCE", "/root/reference")
+
+
+# --------------------------------------------------------------------------- #
+# Minimal stand-ins for the reference's absent dependencies.
+# --------------------------------------------------------------------------- #
+def _smooth_l1_loss(input, target, beta, reduction="none"):
+    # fvcore.nn.smooth_l1_loss semantics (pure-L1 when beta ~ 0)
+    if beta < 1e-5:
+        loss = torch.abs(input - target)
+    else:
+        n = torch.abs(input - target)
+        cond = n < beta
+        loss = torch.where(cond, 0.5 * n ** 2 / beta, n - 0.5 * beta)
+    if reduction == "mean":
+        return loss.mean()
+    if reduction == "sum":
+        return loss.sum()
+    return loss
+
+
+def _sigmoid_focal_loss(inputs, targets, alpha=-1, gamma=2, reduction="none"):
+    p = torch.sigmoid(inputs)
+    ce = F.binary_cross_entropy_with_logits(inputs, targets, reduction="none")
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * ((1 - p_t) ** gamma)
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+        loss = alpha_t * loss
+    if reduction == "mean":
+        return loss.mean()
+    if reduction == "sum":
+        return loss.sum()
+    return loss
+
+
+def _torch_nms(boxes, scores, iou_threshold):
+    order = scores.argsort(descending=True)
+    keep = []
+    while order.numel() > 0:
+        i = order[0]
+        keep.append(int(i))
+        if order.numel() == 1:
+            break
+        rest = order[1:]
+        b = boxes[i]
+        bs = boxes[rest]
+        x1 = torch.maximum(b[0], bs[:, 0])
+        y1 = torch.maximum(b[1], bs[:, 1])
+        x2 = torch.minimum(b[2], bs[:, 2])
+        y2 = torch.minimum(b[3], bs[:, 3])
+        inter = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+        a1 = (b[2] - b[0]) * (b[3] - b[1])
+        a2 = (bs[:, 2] - bs[:, 0]) * (bs[:, 3] - bs[:, 1])
+        iou = inter / (a1 + a2 - inter)
+        order = rest[iou <= iou_threshold]
+    return torch.tensor(keep, dtype=torch.int64)
+
+
+def _torch_batched_nms(boxes, scores, idxs, iou_threshold):
+    if boxes.numel() == 0:
+        return torch.empty((0,), dtype=torch.int64)
+    max_coordinate = boxes.max()
+    offsets = idxs.to(boxes) * (max_coordinate + 1)
+    boxes_for_nms = boxes + offsets[:, None]
+    return _torch_nms(boxes_for_nms, scores, iou_threshold)
+
+
+def install_stubs():
+    sys.path.insert(0, os.path.join(os.path.dirname(OUT_DIR), ".."))  # repo root
+    from fsgd_tpu.config.cfg_node import CfgNode as _OurCN
+
+    class CfgNode(_OurCN):
+        """yacs/fvcore-compatible shim over the fsgd_tpu CfgNode."""
+
+        def __init__(self, init_dict=None, key_list=None, new_allowed=False):
+            super().__init__(init_dict, new_allowed=True)
+
+        @classmethod
+        def load_yaml_with_base(cls, filename, allow_unsafe=False):
+            import yaml
+
+            with open(filename) as f:
+                return yaml.unsafe_load(f)
+
+        def merge_from_other_cfg(self, other):
+            def merge(a, b):
+                for k, v in b.items():
+                    if isinstance(v, dict) and isinstance(a.get(k), dict):
+                        merge(a[k], v)
+                    else:
+                        a[k] = v
+
+            merge(self, other)
+
+    def module(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    # ---- fvcore ----
+    fvcore = module("fvcore")
+    module("fvcore.common")
+    module("fvcore.common.config", CfgNode=CfgNode)
+
+    class Registry:
+        def __init__(self, name):
+            self._name, self._map = name, {}
+
+        def register(self, obj=None):
+            if obj is None:
+                def deco(cls):
+                    self._map[cls.__name__] = cls
+                    return cls
+
+                return deco
+            self._map[obj.__name__] = obj
+            return obj
+
+        def get(self, name):
+            return self._map[name]
+
+    module("fvcore.common.registry", Registry=Registry)
+
+    class HistoryBuffer:
+        def __init__(self, max_length=1000000):
+            self._data = []
+
+        def update(self, value, iteration=None):
+            self._data.append((value, iteration))
+
+        def latest(self):
+            return self._data[-1][0]
+
+        def median(self, n):
+            return float(np.median([x[0] for x in self._data[-n:]]))
+
+        def avg(self, n):
+            return float(np.mean([x[0] for x in self._data[-n:]]))
+
+        def global_avg(self):
+            return float(np.mean([x[0] for x in self._data]))
+
+    module("fvcore.common.history_buffer", HistoryBuffer=HistoryBuffer)
+
+    import time as _time
+
+    class Timer:
+        def __init__(self):
+            self.reset()
+
+        def reset(self):
+            self._start = _time.perf_counter()
+
+        def seconds(self):
+            return _time.perf_counter() - self._start
+
+        def pause(self):
+            pass
+
+        def resume(self):
+            pass
+
+        def is_paused(self):
+            return False
+
+    module("fvcore.common.timer", Timer=Timer)
+
+    class PathHandler:
+        pass
+
+    class PathManager:
+        @staticmethod
+        def open(path, mode="r", **kw):
+            return open(path, mode, **kw)
+
+        @staticmethod
+        def exists(path):
+            return os.path.exists(path)
+
+        @staticmethod
+        def isfile(path):
+            return os.path.isfile(path)
+
+        @staticmethod
+        def get_local_path(path):
+            return path
+
+        @staticmethod
+        def register_handler(h):
+            pass
+
+    module("fvcore.common.file_io", PathManager=PathManager, PathHandler=PathHandler)
+
+    class Checkpointer:
+        def __init__(self, *a, **k):
+            pass
+
+    class PeriodicCheckpointer:
+        def __init__(self, *a, **k):
+            pass
+
+    module("fvcore.common.checkpoint", Checkpointer=Checkpointer, PeriodicCheckpointer=PeriodicCheckpointer)
+
+    module(
+        "fvcore.nn",
+        smooth_l1_loss=_smooth_l1_loss,
+        sigmoid_focal_loss=_sigmoid_focal_loss,
+        sigmoid_focal_loss_jit=_sigmoid_focal_loss,
+        sigmoid_focal_loss_star=_sigmoid_focal_loss,
+        sigmoid_focal_loss_star_jit=_sigmoid_focal_loss,
+    )
+
+    import torch.nn as nn
+
+    def c2_xavier_fill(m):
+        nn.init.kaiming_uniform_(m.weight, a=1)
+        if m.bias is not None:
+            nn.init.constant_(m.bias, 0)
+
+    def c2_msra_fill(m):
+        nn.init.kaiming_normal_(m.weight, mode="fan_out", nonlinearity="relu")
+        if m.bias is not None:
+            nn.init.constant_(m.bias, 0)
+
+    module("fvcore.nn.weight_init", c2_xavier_fill=c2_xavier_fill, c2_msra_fill=c2_msra_fill)
+    module("fvcore.nn.precise_bn", get_bn_modules=lambda m: [], update_bn_stats=lambda *a, **k: None)
+
+    class Transform:
+        @classmethod
+        def register_type(cls, data_type, func=None):
+            if func is None:
+                return lambda f: f
+            return func
+
+    class NoOpTransform(Transform):
+        pass
+
+    class HFlipTransform(Transform):
+        def __init__(self, width=0):
+            self.width = width
+
+    class TransformList(Transform):
+        def __init__(self, tfms):
+            self.transforms = tfms
+
+    class BlendTransform(Transform):
+        pass
+
+    class CropTransform(Transform):
+        pass
+
+    class VFlipTransform(Transform):
+        pass
+
+    module("fvcore.transforms")
+    module(
+        "fvcore.transforms.transform",
+        Transform=Transform,
+        TransformList=TransformList,
+        NoOpTransform=NoOpTransform,
+        HFlipTransform=HFlipTransform,
+        VFlipTransform=VFlipTransform,
+        BlendTransform=BlendTransform,
+        CropTransform=CropTransform,
+    )
+    fvcore.common = sys.modules["fvcore.common"]
+    fvcore.nn = sys.modules["fvcore.nn"]
+    fvcore.transforms = sys.modules["fvcore.transforms"]
+
+    # ---- torchvision ----
+    class RoIPool:  # imported by poolers.py; never exercised by the fixtures
+        def __init__(self, output_size, spatial_scale):
+            self.output_size, self.spatial_scale = output_size, spatial_scale
+
+    tv = module("torchvision")
+    tv_ops = module("torchvision.ops", nms=_torch_nms, RoIPool=RoIPool)
+    module("torchvision.ops.boxes", nms=_torch_nms, batched_nms=_torch_batched_nms)
+    tv_ops.boxes = sys.modules["torchvision.ops.boxes"]
+    tv.ops = tv_ops
+
+    # ---- pycocotools (only structures/masks.py polygon helpers use it at
+    # call time; the fixtures here never touch polygon masks)
+    from fsgd_tpu.data import rle as _rle
+
+    pct = module("pycocotools")
+    pct_mask = module(
+        "pycocotools.mask",
+        encode=_rle.encode,
+        decode=_rle.decode,
+        area=_rle.area,
+        toBbox=_rle.to_bbox,
+    )
+    pct.mask = pct_mask
+
+    # ---- imagesize (dataset loading helper; unused by the fixtures)
+    def _imagesize_get(path):
+        from PIL import Image as _Img
+
+        with _Img.open(path) as im:
+            return im.size
+
+    module("imagesize", get=_imagesize_get)
+
+    # ---- detectron2._C (only referenced at call time by deform/rotated ops)
+    module("detectron2._C")
+
+    # the reference targets an older Pillow with the un-namespaced resample
+    # constants (removed in Pillow 10)
+    from PIL import Image
+
+    for old, new in (("LINEAR", "BILINEAR"), ("CUBIC", "BICUBIC")):
+        if not hasattr(Image, old):
+            setattr(Image, old, getattr(Image, new))
+
+    sys.path.insert(0, REF)
+
+
+# --------------------------------------------------------------------------- #
+# Fixture generators (each mirrors a reference test scenario).
+# --------------------------------------------------------------------------- #
+def gen_rpn():
+    """tests/test_rpn.py:16-74 — C4 RPN losses + proposals, weights captured."""
+    from detectron2.config import get_cfg
+    from detectron2.modeling.proposal_generator.rpn import RPN
+    from detectron2.layers import ShapeSpec
+    from detectron2.structures import Boxes, ImageList, Instances
+    from detectron2.utils.events import EventStorage
+
+    torch.manual_seed(121)
+    cfg = get_cfg()
+    cfg.MODEL.PROPOSAL_GENERATOR.NAME = "RPN"
+    cfg.MODEL.ANCHOR_GENERATOR.NAME = "DefaultAnchorGenerator"
+    cfg.MODEL.RPN.BBOX_REG_WEIGHTS = (1, 1, 1, 1)
+    shapes = {"res4": ShapeSpec(channels=1024, stride=16)}
+    rpn = RPN(cfg, shapes)
+
+    num_images = 2
+    images_tensor = torch.rand(num_images, 3, 20, 30)
+    image_sizes = [(10, 10), (20, 30)]
+    images = ImageList(images_tensor, image_sizes)
+    features = {"res4": torch.rand(num_images, 1024, 1, 2)}
+    gt_boxes = torch.tensor([[1, 1, 3, 3], [2, 2, 6, 6]], dtype=torch.float32)
+    insts = []
+    for i in range(num_images):
+        inst = Instances((15, 15))
+        inst.gt_boxes = Boxes(gt_boxes[i : i + 1])
+        insts.append(inst)
+
+    with EventStorage():
+        proposals, losses = rpn(images, features, insts)
+
+    head = rpn.rpn_head
+    out = {
+        "features": features["res4"].detach().numpy(),
+        "gt_boxes": gt_boxes.numpy(),
+        "image_sizes": np.array(image_sizes, np.int64),
+        "conv_w": head.conv.weight.detach().numpy(),
+        "conv_b": head.conv.bias.detach().numpy(),
+        "obj_w": head.objectness_logits.weight.detach().numpy(),
+        "obj_b": head.objectness_logits.bias.detach().numpy(),
+        "delta_w": head.anchor_deltas.weight.detach().numpy(),
+        "delta_b": head.anchor_deltas.bias.detach().numpy(),
+        "loss_rpn_cls": losses["loss_rpn_cls"].detach().numpy(),
+        "loss_rpn_loc": losses["loss_rpn_loc"].detach().numpy(),
+        "anchor_sizes": np.array(cfg.MODEL.ANCHOR_GENERATOR.SIZES[0], np.float32),
+        "aspect_ratios": np.array(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0], np.float32),
+        "batch_size_per_image": np.int64(cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE),
+        "positive_fraction": np.float32(cfg.MODEL.RPN.POSITIVE_FRACTION),
+        "smooth_l1_beta": np.float32(cfg.MODEL.RPN.SMOOTH_L1_BETA),
+        "iou_thresholds": np.array(cfg.MODEL.RPN.IOU_THRESHOLDS, np.float32),
+    }
+    for i in range(num_images):
+        out["proposal_boxes_%d" % i] = proposals[i].proposal_boxes.tensor.detach().numpy()
+        out["objectness_logits_%d" % i] = proposals[i].objectness_logits.detach().numpy()
+    np.savez(os.path.join(OUT_DIR, "rpn.npz"), **out)
+    print("rpn.npz: loss_cls=%.10f loss_loc=%.10f" % (out["loss_rpn_cls"], out["loss_rpn_loc"]))
+
+
+def gen_fast_rcnn():
+    """tests/test_fast_rcnn.py:17-56 (+ rotated) — losses from explicit preds."""
+    from detectron2.modeling.box_regression import Box2BoxTransform, Box2BoxTransformRotated
+    from detectron2.modeling.roi_heads.fast_rcnn import FastRCNNOutputLayers, FastRCNNOutputs
+    from detectron2.modeling.roi_heads.rotated_fast_rcnn import RotatedFastRCNNOutputs
+    from detectron2.structures import Boxes, Instances, RotatedBoxes
+    from detectron2.utils.events import EventStorage
+
+    torch.manual_seed(132)
+    box2box = Box2BoxTransform(weights=(10, 10, 5, 5))
+    predictor = FastRCNNOutputLayers(8, 5, False, box_dim=4)
+    feature = torch.rand(2, 8)
+    logits, deltas = predictor(feature)
+    proposal_boxes = torch.tensor([[0.8, 1.1, 3.2, 2.8], [2.3, 2.5, 7, 8]], dtype=torch.float32)
+    gt_boxes = torch.tensor([[1, 1, 3, 3], [2, 2, 6, 6]], dtype=torch.float32)
+    inst = Instances((10, 10))
+    inst.proposal_boxes = Boxes(proposal_boxes)
+    inst.gt_boxes = Boxes(gt_boxes)
+    inst.gt_classes = torch.tensor([1, 2])
+    with EventStorage():
+        losses = FastRCNNOutputs(box2box, logits, deltas, [inst], 0.0).losses()
+
+    out = {
+        "logits": logits.detach().numpy(),
+        "deltas": deltas.detach().numpy(),
+        "proposal_boxes": proposal_boxes.numpy(),
+        "gt_boxes": gt_boxes.numpy(),
+        "gt_classes": np.array([1, 2], np.int64),
+        "loss_cls": losses["loss_cls"].detach().numpy(),
+        "loss_box_reg": losses["loss_box_reg"].detach().numpy(),
+    }
+
+    torch.manual_seed(132)
+    box2box_r = Box2BoxTransformRotated(weights=(10, 10, 5, 5, 1))
+    predictor_r = FastRCNNOutputLayers(8, 5, False, box_dim=5)
+    feature = torch.rand(2, 8)
+    logits_r, deltas_r = predictor_r(feature)
+    pr = torch.tensor([[2, 1.95, 2.4, 1.7, 0], [4.65, 5.25, 4.7, 5.5, 0]], dtype=torch.float32)
+    gr = torch.tensor([[2, 2, 2, 2, 0], [4, 4, 4, 4, 0]], dtype=torch.float32)
+    inst = Instances((10, 10))
+    inst.proposal_boxes = RotatedBoxes(pr)
+    inst.gt_boxes = RotatedBoxes(gr)
+    inst.gt_classes = torch.tensor([1, 2])
+    with EventStorage():
+        losses_r = RotatedFastRCNNOutputs(box2box_r, logits_r, deltas_r, [inst], 0.0).losses()
+    out.update(
+        {
+            "rot_logits": logits_r.detach().numpy(),
+            "rot_deltas": deltas_r.detach().numpy(),
+            "rot_proposal_boxes": pr.numpy(),
+            "rot_gt_boxes": gr.numpy(),
+            "rot_gt_classes": np.array([1, 2], np.int64),
+            "rot_loss_cls": losses_r["loss_cls"].detach().numpy(),
+            "rot_loss_box_reg": losses_r["loss_box_reg"].detach().numpy(),
+        }
+    )
+    np.savez(os.path.join(OUT_DIR, "fast_rcnn.npz"), **out)
+    print(
+        "fast_rcnn.npz: loss_cls=%.10f loss_box_reg=%.10f (rot %.10f/%.10f)"
+        % (out["loss_cls"], out["loss_box_reg"], out["rot_loss_cls"], out["rot_loss_box_reg"])
+    )
+
+
+def gen_matcher():
+    """modeling/matcher.py — threshold buckets + low-quality rescue."""
+    from detectron2.modeling.matcher import Matcher
+
+    rng = np.random.RandomState(7)
+    quality = torch.tensor(rng.rand(5, 40).astype(np.float32))
+    # a zero-quality column exercises the all-below-threshold bucket; an
+    # exact-tie column exercises the rescue's tie handling
+    quality[:, 0] = 0.0
+    quality[2, 1] = quality[4, 1] = float(quality[:, 1].max())
+    out = {"quality": quality.numpy()}
+    for name, thresholds, labels, rescue in (
+        ("rpn", [0.3, 0.7], [0, -1, 1], True),
+        ("roi", [0.5], [0, 1], False),
+        ("retina", [0.4, 0.5], [0, -1, 1], True),
+    ):
+        m = Matcher(thresholds, labels, allow_low_quality_matches=rescue)
+        idxs, lbls = m(quality)
+        out[name + "_idxs"] = idxs.numpy()
+        out[name + "_labels"] = lbls.numpy()
+    np.savez(os.path.join(OUT_DIR, "matcher.npz"), **out)
+    print("matcher.npz:", {k: v.shape for k, v in out.items()})
+
+
+def gen_box2box():
+    """modeling/box_regression.py — get_deltas/apply_deltas (+ rotated)."""
+    from detectron2.modeling.box_regression import Box2BoxTransform, Box2BoxTransformRotated
+
+    rng = np.random.RandomState(3)
+    src = rng.rand(16, 2) * 50
+    wh = rng.rand(16, 2) * 40 + 2
+    src_boxes = np.concatenate([src, src + wh], 1).astype(np.float32)
+    tgt = rng.rand(16, 2) * 50
+    twh = rng.rand(16, 2) * 40 + 2
+    tgt_boxes = np.concatenate([tgt, tgt + twh], 1).astype(np.float32)
+    deltas_in = (rng.randn(16, 4) * 0.5).astype(np.float32)
+
+    t = Box2BoxTransform(weights=(10, 10, 5, 5))
+    deltas = t.get_deltas(torch.tensor(src_boxes), torch.tensor(tgt_boxes))
+    applied = t.apply_deltas(torch.tensor(deltas_in), torch.tensor(src_boxes))
+
+    rot_src = np.concatenate(
+        [rng.rand(16, 2) * 50, rng.rand(16, 2) * 40 + 2, rng.uniform(-90, 90, (16, 1))], 1
+    ).astype(np.float32)
+    rot_tgt = np.concatenate(
+        [rng.rand(16, 2) * 50, rng.rand(16, 2) * 40 + 2, rng.uniform(-90, 90, (16, 1))], 1
+    ).astype(np.float32)
+    rot_deltas_in = (rng.randn(16, 5) * 0.5).astype(np.float32)
+    tr = Box2BoxTransformRotated(weights=(10, 10, 5, 5, 1))
+    rot_deltas = tr.get_deltas(torch.tensor(rot_src), torch.tensor(rot_tgt))
+    rot_applied = tr.apply_deltas(torch.tensor(rot_deltas_in), torch.tensor(rot_src))
+
+    np.savez(
+        os.path.join(OUT_DIR, "box2box.npz"),
+        src_boxes=src_boxes,
+        tgt_boxes=tgt_boxes,
+        deltas_in=deltas_in,
+        deltas=deltas.numpy(),
+        applied=applied.numpy(),
+        rot_src=rot_src,
+        rot_tgt=rot_tgt,
+        rot_deltas_in=rot_deltas_in,
+        rot_deltas=rot_deltas.numpy(),
+        rot_applied=rot_applied.numpy(),
+    )
+    print("box2box.npz written")
+
+
+def main():
+    install_stubs()
+    gen_box2box()
+    gen_matcher()
+    gen_fast_rcnn()
+    gen_rpn()
+
+
+if __name__ == "__main__":
+    main()

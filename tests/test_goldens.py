@@ -1,0 +1,294 @@
+"""Numeric-golden parity tests against the reference implementation.
+
+Fixtures in tests/goldens/*.npz were produced by RUNNING the reference's
+pure-torch modules (tests/goldens/gen_goldens.py; scenarios mirror the
+reference's own hardcoded-expectation tests /root/reference/tests/
+test_rpn.py:16-74, test_fast_rcnn.py:17-56, test_anchor_generator.py:14-45,
+test_roi_align.py:11-48).  These pin the LOSS/TRANSFORM numerics to 1e-5 —
+regressions the coarse synthetic-convergence gates cannot see.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _load(name):
+    path = os.path.join(GOLDENS, name)
+    if not os.path.exists(path):
+        pytest.skip("fixture %s missing — run tests/goldens/gen_goldens.py" % name)
+    return np.load(path)
+
+
+# --------------------------------------------------------------------------- #
+# Box2Box transforms
+# --------------------------------------------------------------------------- #
+def test_box2box_deltas_golden():
+    from fsgd_tpu.ops.box_transform import Box2BoxTransform
+
+    z = _load("box2box.npz")
+    t = Box2BoxTransform(weights=(10, 10, 5, 5))
+    deltas = np.asarray(t.get_deltas(jnp.asarray(z["src_boxes"]), jnp.asarray(z["tgt_boxes"])))
+    np.testing.assert_allclose(deltas, z["deltas"], atol=1e-5, rtol=1e-5)
+    applied = np.asarray(t.apply_deltas(jnp.asarray(z["deltas_in"]), jnp.asarray(z["src_boxes"])))
+    np.testing.assert_allclose(applied, z["applied"], atol=1e-4, rtol=1e-5)
+
+
+def test_box2box_rotated_deltas_golden():
+    from fsgd_tpu.ops.box_transform import Box2BoxTransformRotated
+
+    z = _load("box2box.npz")
+    t = Box2BoxTransformRotated(weights=(10, 10, 5, 5, 1))
+    deltas = np.asarray(t.get_deltas(jnp.asarray(z["rot_src"]), jnp.asarray(z["rot_tgt"])))
+    np.testing.assert_allclose(deltas, z["rot_deltas"], atol=1e-5, rtol=1e-5)
+    applied = np.asarray(t.apply_deltas(jnp.asarray(z["rot_deltas_in"]), jnp.asarray(z["rot_src"])))
+    np.testing.assert_allclose(applied, z["rot_applied"], atol=1e-4, rtol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# Matcher buckets + low-quality rescue
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize(
+    "name,thresholds,labels,rescue",
+    [
+        ("rpn", [0.3, 0.7], [0, -1, 1], True),
+        ("roi", [0.5], [0, 1], False),
+        ("retina", [0.4, 0.5], [0, -1, 1], True),
+    ],
+)
+def test_matcher_golden(name, thresholds, labels, rescue):
+    from fsgd_tpu.ops.matcher import Matcher
+
+    z = _load("matcher.npz")
+    m = Matcher(thresholds, labels, allow_low_quality_matches=rescue)
+    idxs, lbls = m(jnp.asarray(z["quality"]))
+    np.testing.assert_array_equal(np.asarray(idxs), z[name + "_idxs"])
+    np.testing.assert_array_equal(np.asarray(lbls), z[name + "_labels"])
+
+
+# --------------------------------------------------------------------------- #
+# FastRCNNOutputs losses (reference published constants 1.7951188087 /
+# 4.0357131958 — reproduced by the fixture generator bit-for-bit)
+# --------------------------------------------------------------------------- #
+def test_fast_rcnn_losses_golden():
+    from fsgd_tpu.models.roi_heads.fast_rcnn import fast_rcnn_losses
+    from fsgd_tpu.ops.box_transform import Box2BoxTransform
+
+    z = _load("fast_rcnn.npz")
+    losses = fast_rcnn_losses(
+        Box2BoxTransform(weights=(10, 10, 5, 5)),
+        jnp.asarray(z["logits"]),
+        jnp.asarray(z["deltas"]),
+        jnp.asarray(z["proposal_boxes"]),
+        jnp.asarray(z["gt_boxes"]),
+        jnp.asarray(z["gt_classes"].astype(np.int32)),
+        jnp.ones(z["gt_classes"].shape, bool),
+        smooth_l1_beta=0.0,
+    )
+    np.testing.assert_allclose(float(losses["loss_cls"]), float(z["loss_cls"]), atol=1e-5)
+    np.testing.assert_allclose(float(losses["loss_box_reg"]), float(z["loss_box_reg"]), atol=1e-5)
+    # the reference's own hardcoded expectations, reproduced end-to-end
+    np.testing.assert_allclose(float(z["loss_cls"]), 1.7951188087, atol=1e-6)
+    np.testing.assert_allclose(float(z["loss_box_reg"]), 4.0357131958, atol=1e-6)
+
+
+def test_rotated_fast_rcnn_losses_golden():
+    from fsgd_tpu.models.roi_heads.fast_rcnn import fast_rcnn_losses
+    from fsgd_tpu.ops.box_transform import Box2BoxTransformRotated
+
+    z = _load("fast_rcnn.npz")
+    losses = fast_rcnn_losses(
+        Box2BoxTransformRotated(weights=(10, 10, 5, 5, 1)),
+        jnp.asarray(z["rot_logits"]),
+        jnp.asarray(z["rot_deltas"]),
+        jnp.asarray(z["rot_proposal_boxes"]),
+        jnp.asarray(z["rot_gt_boxes"]),
+        jnp.asarray(z["rot_gt_classes"].astype(np.int32)),
+        jnp.ones(z["rot_gt_classes"].shape, bool),
+        smooth_l1_beta=0.0,
+    )
+    np.testing.assert_allclose(float(losses["loss_cls"]), float(z["rot_loss_cls"]), atol=1e-5)
+    np.testing.assert_allclose(
+        float(losses["loss_box_reg"]), float(z["rot_loss_box_reg"]), atol=1e-5
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Anchor coordinates (reference test_anchor_generator.py:14-45 hardcoded grid)
+# --------------------------------------------------------------------------- #
+def test_anchor_generator_golden():
+    from fsgd_tpu.config import get_cfg
+    from fsgd_tpu.models.anchor_generator import DefaultAnchorGenerator
+    from fsgd_tpu.models.backbone.resnet import ShapeSpec
+
+    cfg = get_cfg()
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32, 64]]
+    cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.25, 1, 4]]
+    gen = DefaultAnchorGenerator(cfg, [ShapeSpec(stride=4)])
+    anchors = gen([(1, 2)])[0].tensor
+    expected = np.array(
+        [
+            [-32.0, -8.0, 32.0, 8.0],
+            [-16.0, -16.0, 16.0, 16.0],
+            [-8.0, -32.0, 8.0, 32.0],
+            [-64.0, -16.0, 64.0, 16.0],
+            [-32.0, -32.0, 32.0, 32.0],
+            [-16.0, -64.0, 16.0, 64.0],
+            [-28.0, -8.0, 36.0, 8.0],
+            [-12.0, -16.0, 20.0, 16.0],
+            [-4.0, -32.0, 12.0, 32.0],
+            [-60.0, -16.0, 68.0, 16.0],
+            [-28.0, -32.0, 36.0, 32.0],
+            [-12.0, -64.0, 20.0, 64.0],
+        ],
+        np.float32,
+    )
+    np.testing.assert_allclose(np.asarray(anchors), expected, atol=1e-5)
+
+
+def test_rotated_anchor_generator_golden():
+    from fsgd_tpu.config import get_cfg
+    from fsgd_tpu.models.anchor_generator import RotatedAnchorGenerator
+    from fsgd_tpu.models.backbone.resnet import ShapeSpec
+
+    cfg = get_cfg()
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32, 64]]
+    cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.25, 1, 4]]
+    cfg.MODEL.ANCHOR_GENERATOR.ANGLES = [[0, 45]]
+    gen = RotatedAnchorGenerator(cfg, [ShapeSpec(stride=4)])
+    anchors = np.asarray(gen([(1, 2)])[0].tensor)
+    # reference test_anchor_generator.py:47-86 hardcoded grid (first cell)
+    expected_first_cell = np.array(
+        [
+            [0.0, 0.0, 64.0, 16.0, 0.0],
+            [0.0, 0.0, 64.0, 16.0, 45.0],
+            [0.0, 0.0, 32.0, 32.0, 0.0],
+            [0.0, 0.0, 32.0, 32.0, 45.0],
+            [0.0, 0.0, 16.0, 64.0, 0.0],
+            [0.0, 0.0, 16.0, 64.0, 45.0],
+            [0.0, 0.0, 128.0, 32.0, 0.0],
+            [0.0, 0.0, 128.0, 32.0, 45.0],
+            [0.0, 0.0, 64.0, 64.0, 0.0],
+            [0.0, 0.0, 64.0, 64.0, 45.0],
+            [0.0, 0.0, 32.0, 128.0, 0.0],
+            [0.0, 0.0, 32.0, 128.0, 45.0],
+        ],
+        np.float32,
+    )
+    np.testing.assert_allclose(anchors[: len(expected_first_cell)], expected_first_cell, atol=1e-5)
+    # second cell: same anchors shifted by one stride in x
+    shifted = expected_first_cell.copy()
+    shifted[:, 0] += 4.0
+    np.testing.assert_allclose(
+        anchors[len(expected_first_cell) : 2 * len(expected_first_cell)], shifted, atol=1e-5
+    )
+
+
+# --------------------------------------------------------------------------- #
+# ROIAlign exact grids (reference test_roi_align.py:11-48 hardcoded outputs)
+# --------------------------------------------------------------------------- #
+def _simple_roialign(img_np, box, out_size, aligned):
+    from fsgd_tpu.ops.roi_align import roi_align
+
+    h, w = img_np.shape
+    feat = jnp.asarray(img_np, jnp.float32)[None, :, :, None]
+    rois = jnp.asarray([[0.0] + list(box)], jnp.float32)
+    out = roi_align(feat, rois, (out_size, out_size), 1.0, 0, aligned)
+    return np.asarray(out)[0, :, :, 0]
+
+
+def test_roi_align_grid_golden():
+    inp = np.arange(25).reshape(5, 5).astype(np.float32)
+    old = _simple_roialign(inp, [1, 1, 3, 3], 4, aligned=False)
+    correct = _simple_roialign(inp, [1, 1, 3, 3], 4, aligned=True)
+    old_expected = np.array(
+        [
+            [7.5, 8, 8.5, 9],
+            [10, 10.5, 11, 11.5],
+            [12.5, 13, 13.5, 14],
+            [15, 15.5, 16, 16.5],
+        ]
+    )
+    correct_expected = np.array(
+        [
+            [4.5, 5.0, 5.5, 6.0],
+            [7.0, 7.5, 8.0, 8.5],
+            [9.5, 10.0, 10.5, 11.0],
+            [12.0, 12.5, 13.0, 13.5],
+        ]
+    )
+    np.testing.assert_allclose(old, old_expected, atol=1e-5)
+    np.testing.assert_allclose(correct, correct_expected, atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# RPN end-to-end: reference weights + features -> identical losses/proposals
+# --------------------------------------------------------------------------- #
+def test_rpn_losses_golden():
+    import jax
+
+    from fsgd_tpu.config import get_cfg
+    from fsgd_tpu.models.build import PROPOSAL_GENERATOR_REGISTRY
+    from fsgd_tpu.models.backbone.resnet import ShapeSpec
+
+    z = _load("rpn.npz")
+    cfg = get_cfg()
+    cfg.MODEL.RPN.IN_FEATURES = ["res4"]
+    cfg.MODEL.RPN.BBOX_REG_WEIGHTS = [1.0, 1.0, 1.0, 1.0]
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [z["anchor_sizes"].tolist()]
+    cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [z["aspect_ratios"].tolist()]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    rpn = PROPOSAL_GENERATOR_REGISTRY.get("RPN")(
+        cfg, {"res4": ShapeSpec(channels=1024, stride=16)}
+    )
+
+    # reference torch conv weights (OIHW) -> flax HWIO
+    params = {
+        "conv": {
+            "kernel": jnp.asarray(z["conv_w"].transpose(2, 3, 1, 0)),
+            "bias": jnp.asarray(z["conv_b"]),
+        },
+        "objectness_logits": {
+            "kernel": jnp.asarray(z["obj_w"].transpose(2, 3, 1, 0)),
+            "bias": jnp.asarray(z["obj_b"]),
+        },
+        "anchor_deltas": {
+            "kernel": jnp.asarray(z["delta_w"].transpose(2, 3, 1, 0)),
+            "bias": jnp.asarray(z["delta_b"]),
+        },
+    }
+    feats = {"res4": jnp.asarray(z["features"].transpose(0, 2, 3, 1))}  # NCHW->NHWC
+    b = z["features"].shape[0]
+    max_gt = 1
+    batch = {
+        "gt_boxes": jnp.asarray(z["gt_boxes"].reshape(b, max_gt, 4)),
+        "gt_valid": jnp.ones((b, max_gt), bool),
+        "image_size": jnp.asarray(z["image_sizes"].astype(np.int32)),
+    }
+    proposals, losses = rpn(params, feats, batch, rng=jax.random.PRNGKey(0), training=True)
+
+    np.testing.assert_allclose(
+        float(losses["loss_rpn_cls"]), float(z["loss_rpn_cls"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(losses["loss_rpn_loc"]), float(z["loss_rpn_loc"]), atol=1e-5
+    )
+
+    # proposals: every reference-kept box must appear, in score order, at the
+    # head of our padded valid set
+    for i in range(b):
+        ref_boxes = z["proposal_boxes_%d" % i]
+        ref_logits = z["objectness_logits_%d" % i]
+        ours_boxes = np.asarray(proposals["boxes"][i])
+        ours_scores = np.asarray(proposals["scores"][i])
+        ours_valid = np.asarray(proposals["valid"][i])
+        kept = ours_boxes[ours_valid]
+        kept_scores = ours_scores[ours_valid]
+        assert kept.shape[0] >= ref_boxes.shape[0]
+        np.testing.assert_allclose(kept[: ref_boxes.shape[0]], ref_boxes, atol=1e-3)
+        np.testing.assert_allclose(kept_scores[: ref_logits.shape[0]], ref_logits, atol=1e-4)
