@@ -1,18 +1,26 @@
 #!/usr/bin/env python
-"""Data-independent convergence gates (VERDICT round-1 item 2).
+"""Data-independent convergence gates (VERDICT round-1 item 2, round-2 item 2).
 
-Trains Faster R-CNN and RetinaNet from scratch on 16 fixed synthetic images
-(colored rectangles on noise, 3 classes) until the detector reproduces its
-own training set: self-eval AP50 must exceed the gate.  This proves the full
+Trains each model family from scratch on a small fixed synthetic set (colored
+rectangles on noise; class = color) until the detector reproduces its own
+training set: the self-eval metric must exceed the gate.  This proves the full
 stack *learns* — matching, sampling, losses, optimizer, inference decode and
 COCO evaluation — not just that losses descend.
+
+Gates (CONVERGENCE.json rows, merged by model name — never overwritten):
+  faster_rcnn    bbox AP50        >= 0.90
+  retinanet      bbox AP50        >= 0.90
+  mask_rcnn      segm AP50        >= 0.80   (pasted masks -> RLE -> COCOeval)
+  keypoint_rcnn  keypoints AP50   >= 0.70   (17-point OKS through COCOeval)
+  gambler_gan    rare-class AP50  >= plain-RetinaNet baseline (the fork's
+                 thesis: betting-map reweighting helps the rare class;
+                 reference ImbalanceDetection/train_net.py GANTrainer loop)
 
 The reference's equivalent gates are the quick_schedules training_acc_test
 configs (e.g. configs/quick_schedules/mask_rcnn_R_50_FPN_training_acc_test.yaml)
 which need COCO on disk; this harness is self-contained.
 
-Usage:  python dev/run_convergence.py [--models faster_rcnn,retinanet]
-Writes CONVERGENCE.json rows: {"model", "ap50", "iters", "gate", "passed"}.
+Usage:  python dev/run_convergence.py [--models faster_rcnn,mask_rcnn,...]
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -33,58 +42,120 @@ NUM_CLASSES = 3
 MAX_GT = 8
 COLORS = np.array([[200, 40, 40], [40, 200, 40], [40, 60, 220]], np.float32)
 
+# 17 distinct keypoint sites per rectangle: 4x4 interior grid + center, as
+# fractions of the box.  Each keypoint channel must learn a different offset.
+_gx, _gy = np.meshgrid(np.linspace(0.2, 0.8, 4), np.linspace(0.2, 0.8, 4))
+KP_FRAC = np.concatenate(
+    [np.stack([_gx.ravel(), _gy.ravel()], 1), [[0.5, 0.5]]], 0
+).astype(np.float32)  # (17, 2)
 
-def make_dataset(seed=7):
-    """16 images of colored rectangles; class = color. Deterministic."""
+
+def make_dataset(seed=7, num_images=NUM_IMAGES, img_size=IMG_SIZE,
+                 num_classes=NUM_CLASSES, class_probs=None):
+    """Images of colored rectangles; class = color. Deterministic.
+
+    ``class_probs`` draws an imbalanced class distribution (the gambler gate);
+    the rarest class is forced to appear at least 3 times.
+    """
     rng = np.random.RandomState(seed)
     images, gts = [], []
-    for _ in range(NUM_IMAGES):
-        img = rng.rand(IMG_SIZE, IMG_SIZE, 3).astype(np.float32) * 40 + 100
+    all_classes = []
+    for _ in range(num_images):
+        img = rng.rand(img_size, img_size, 3).astype(np.float32) * 40 + 100
         n = rng.randint(1, 4)
         boxes, classes = [], []
         for _ in range(n):
             w, h = rng.randint(48, 130, 2)
-            x1 = rng.randint(0, IMG_SIZE - w)
-            y1 = rng.randint(0, IMG_SIZE - h)
-            c = rng.randint(0, NUM_CLASSES)
-            img[y1 : y1 + h, x1 : x1 + w] = COLORS[c] + rng.randn(h, w, 3) * 8
+            x1 = rng.randint(0, img_size - w)
+            y1 = rng.randint(0, img_size - h)
+            if class_probs is None:
+                c = rng.randint(0, num_classes)
+            else:
+                c = rng.choice(num_classes, p=class_probs)
             boxes.append([x1, y1, x1 + w, y1 + h])
             classes.append(c)
+        all_classes.append(classes)
         images.append(img)
         gts.append((np.array(boxes, np.float32), np.array(classes, np.int32)))
+    if class_probs is not None:
+        # guarantee the rare class exists: relabel the first box of the first
+        # images until it has >= 3 instances
+        rare = num_classes - 1
+        have = sum(int((c == rare).sum()) for _, c in gts)
+        i = 0
+        while have < 3 and i < num_images:
+            if gts[i][1][0] != rare:
+                gts[i][1][0] = rare
+                have += 1
+            i += 1
+    # paint AFTER relabeling so pixels match classes
+    for img, (boxes, classes) in zip(images, gts):
+        for b, c in zip(boxes, classes):
+            x1, y1, x2, y2 = [int(v) for v in b]
+            img[y1:y2, x1:x2] = COLORS[c % len(COLORS)] + rng.randn(y2 - y1, x2 - x1, 3) * 8
     return images, gts
 
 
-def make_batch(images, gts, idxs):
+def _box_keypoints(box):
+    """(4,) xyxy -> (17, 3) keypoints at the KP_FRAC sites, all visible."""
+    x1, y1, x2, y2 = box
+    kp = np.zeros((17, 3), np.float32)
+    kp[:, 0] = x1 + KP_FRAC[:, 0] * (x2 - x1)
+    kp[:, 1] = y1 + KP_FRAC[:, 1] * (y2 - y1)
+    kp[:, 2] = 2
+    return kp
+
+
+def make_batch(images, gts, idxs, *, img_size=IMG_SIZE, max_gt=MAX_GT,
+               mask_stride=None, num_kpts=None):
     b = len(idxs)
     batch = {
         "image": np.stack([images[i] for i in idxs]),
-        "image_size": np.tile([[IMG_SIZE, IMG_SIZE]], (b, 1)).astype(np.int32),
-        "out_size": np.tile([[IMG_SIZE, IMG_SIZE]], (b, 1)).astype(np.int32),
-        "gt_boxes": np.zeros((b, MAX_GT, 4), np.float32),
-        "gt_classes": np.zeros((b, MAX_GT), np.int32),
-        "gt_valid": np.zeros((b, MAX_GT), bool),
+        "image_size": np.tile([[img_size, img_size]], (b, 1)).astype(np.int32),
+        "out_size": np.tile([[img_size, img_size]], (b, 1)).astype(np.int32),
+        "gt_boxes": np.zeros((b, max_gt, 4), np.float32),
+        "gt_classes": np.zeros((b, max_gt), np.int32),
+        "gt_valid": np.zeros((b, max_gt), bool),
     }
+    if mask_stride:
+        ms = img_size // mask_stride
+        batch["gt_masks"] = np.zeros((b, max_gt, ms, ms), np.float32)
+    if num_kpts:
+        batch["gt_keypoints"] = np.zeros((b, max_gt, num_kpts, 3), np.float32)
     for j, i in enumerate(idxs):
         boxes, classes = gts[i]
         n = len(classes)
         batch["gt_boxes"][j, :n] = boxes
         batch["gt_classes"][j, :n] = classes
         batch["gt_valid"][j, :n] = True
+        for k in range(n):
+            if mask_stride:
+                x1, y1, x2, y2 = boxes[k] / mask_stride
+                batch["gt_masks"][j, k, int(y1):int(y2) + 1, int(x1):int(x2) + 1] = 1.0
+            if num_kpts:
+                batch["gt_keypoints"][j, k] = _box_keypoints(boxes[k])
     return batch
 
 
-def build_cfg(model_name):
+def build_cfg(model_name, num_classes=NUM_CLASSES, img_size=IMG_SIZE):
     from fsgd_tpu.config import get_cfg
 
     cfg = get_cfg()
     if model_name == "faster_rcnn":
         cfg.merge_from_file("configs/COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml")
-        cfg.MODEL.ROI_HEADS.NUM_CLASSES = NUM_CLASSES
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = num_classes
         cfg.SOLVER.BASE_LR = 0.02
-    else:
+    elif model_name == "mask_rcnn":
+        cfg.merge_from_file("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml")
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = num_classes
+        cfg.SOLVER.BASE_LR = 0.02
+    elif model_name == "keypoint_rcnn":
+        cfg.merge_from_file("configs/COCO-Keypoints/keypoint_rcnn_R_50_FPN_1x.yaml")
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = num_classes  # 1 for keypoints
+        cfg.SOLVER.BASE_LR = 0.02
+    else:  # retinanet / gambler detector
         cfg.merge_from_file("configs/COCO-Detection/retinanet_R_50_FPN_1x.yaml")
-        cfg.MODEL.RETINANET.NUM_CLASSES = NUM_CLASSES
+        cfg.MODEL.RETINANET.NUM_CLASSES = num_classes
         cfg.SOLVER.BASE_LR = 0.01
     cfg.MODEL.WEIGHTS = ""
     cfg.DATASETS.TRAIN = ()
@@ -96,153 +167,358 @@ def build_cfg(model_name):
     cfg.SOLVER.WARMUP_ITERS = 100
     cfg.SOLVER.STEPS = (100000,)  # constant LR after warmup
     cfg.TPU.MAX_GT_PER_IMAGE = MAX_GT
-    cfg.TPU.IMAGE_BUCKETS = [[IMG_SIZE, IMG_SIZE]]
+    cfg.TPU.IMAGE_BUCKETS = [[img_size, img_size]]
     import jax
 
     cfg.TPU.COMPUTE_DTYPE = "bfloat16" if jax.default_backend() != "cpu" else "float32"
     return cfg
 
 
-def eval_ap50(model, params, images, gts, batch_size=8):
-    """Self-eval AP50 through the vendored COCO api/COCOeval."""
-    import jax
+def _gt_json(gts, img_size, num_classes, iou_type, num_images):
+    from fsgd_tpu.data import rle as rle_codec
 
-    from fsgd_tpu.data.cocoapi import COCO
-    from fsgd_tpu.evaluation.cocoeval import COCOeval
-
-    gt_json = {
-        "images": [
-            {"id": i, "width": IMG_SIZE, "height": IMG_SIZE} for i in range(NUM_IMAGES)
-        ],
-        "categories": [{"id": c + 1, "name": str(c)} for c in range(NUM_CLASSES)],
+    gt = {
+        "images": [{"id": i, "width": img_size, "height": img_size} for i in range(num_images)],
+        "categories": [{"id": c + 1, "name": str(c)} for c in range(num_classes)],
         "annotations": [],
     }
     aid = 1
     for i, (boxes, classes) in enumerate(gts):
         for b, c in zip(boxes, classes):
             x1, y1, x2, y2 = [float(v) for v in b]
-            gt_json["annotations"].append(
-                {
-                    "id": aid,
-                    "image_id": i,
-                    "category_id": int(c) + 1,
-                    "bbox": [x1, y1, x2 - x1, y2 - y1],
-                    "area": (x2 - x1) * (y2 - y1),
-                    "iscrowd": 0,
-                }
-            )
+            ann = {
+                "id": aid,
+                "image_id": i,
+                "category_id": int(c) + 1,
+                "bbox": [x1, y1, x2 - x1, y2 - y1],
+                "area": (x2 - x1) * (y2 - y1),
+                "iscrowd": 0,
+            }
+            if iou_type == "segm":
+                m = np.zeros((img_size, img_size), np.uint8)
+                m[int(y1):int(y2), int(x1):int(x2)] = 1
+                ann["segmentation"] = rle_codec.encode(m)
+            elif iou_type == "keypoints":
+                ann["keypoints"] = [float(v) for v in _box_keypoints(b).ravel()]
+                ann["num_keypoints"] = 17
+            gt["annotations"].append(ann)
             aid += 1
+    return gt
+
+
+def _ap50_per_class(ev, num_classes):
+    pr = ev.eval["precision"]  # (T, R, K, A, M); T index 0 == IoU/OKS 0.5
+    out = []
+    for c in range(num_classes):
+        p = pr[0, :, c, 0, -1]
+        p = p[p > -1]
+        out.append(float(p.mean()) if p.size else 0.0)
+    return out
+
+
+def eval_coco(model, params, images, gts, *, iou_type="bbox", img_size=IMG_SIZE,
+              num_classes=NUM_CLASSES, batch_size=8):
+    """Self-eval AP50 through the vendored COCO api/COCOeval.
+
+    Returns (ap50, per_class_ap50).  segm pastes the predicted soft masks into
+    the image frame and RLE-encodes them; keypoints run the 17-point OKS
+    protocol.
+    """
+    import jax
+
+    from fsgd_tpu.data.cocoapi import COCO
+    from fsgd_tpu.evaluation.cocoeval import COCOeval
+    from fsgd_tpu.data import rle as rle_codec
+    from fsgd_tpu.ops.paste_masks import paste_masks_in_image
+
+    num_images = len(images)
     coco_gt = COCO()
-    coco_gt.dataset = gt_json
+    coco_gt.dataset = _gt_json(gts, img_size, num_classes, iou_type, num_images)
     coco_gt.createIndex()
 
     fwd = jax.jit(model.inference_fn)
     results = []
-    for start in range(0, NUM_IMAGES, batch_size):
-        idxs = list(range(start, min(start + batch_size, NUM_IMAGES)))
-        batch = {k: jax.numpy.asarray(v) for k, v in make_batch_infer(idxs, images).items()}
-        out = fwd(params, batch)
+    for start in range(0, num_images, batch_size):
+        idxs = list(range(start, min(start + batch_size, num_images)))
+        b = len(idxs)
+        batch = {
+            "image": np.stack([images[i] for i in idxs]),
+            "image_size": np.tile([[img_size, img_size]], (b, 1)).astype(np.int32),
+            "out_size": np.tile([[img_size, img_size]], (b, 1)).astype(np.int32),
+        }
+        out = fwd(params, {k: jax.numpy.asarray(v) for k, v in batch.items()})
         dets = out[-1] if isinstance(out, tuple) else out
         boxes = np.asarray(dets["boxes"], np.float64)
         scores = np.asarray(dets["scores"], np.float64)
         classes = np.asarray(dets["classes"])
         valid = np.asarray(dets["valid"])
+        masks = np.asarray(dets["masks"]) if "masks" in dets else None
+        kpts = np.asarray(dets["keypoints"]) if "keypoints" in dets else None
         for j, i in enumerate(idxs):
-            for d in range(boxes.shape[1]):
-                if not valid[j, d]:
-                    continue
-                x1, y1, x2, y2 = boxes[j, d]
-                results.append(
-                    {
-                        "image_id": i,
-                        "category_id": int(classes[j, d]) + 1,
-                        "bbox": [x1, y1, x2 - x1, y2 - y1],
-                        "score": float(scores[j, d]),
-                    }
+            vj = np.where(valid[j])[0]
+            if iou_type == "segm" and len(vj):
+                pasted = paste_masks_in_image(
+                    masks[j, vj], boxes[j, vj], (img_size, img_size)
                 )
+            for rank, d in enumerate(vj):
+                r = {
+                    "image_id": i,
+                    "category_id": int(classes[j, d]) + 1,
+                    "score": float(scores[j, d]),
+                }
+                if iou_type == "segm":
+                    r["segmentation"] = rle_codec.encode(pasted[rank].astype(np.uint8))
+                elif iou_type == "keypoints":
+                    kp = np.ones((kpts.shape[2], 3), np.float64)
+                    kp[:, :2] = kpts[j, d, :, :2]
+                    r["keypoints"] = [float(v) for v in kp.ravel()]
+                else:
+                    x1, y1, x2, y2 = boxes[j, d]
+                    r["bbox"] = [x1, y1, x2 - x1, y2 - y1]
+                results.append(r)
     if not results:
-        return 0.0
+        return 0.0, [0.0] * num_classes
     coco_dt = coco_gt.loadRes(results)
-    ev = COCOeval(coco_gt, coco_dt, "bbox")
+    ev = COCOeval(coco_gt, coco_dt, iou_type)
     ev.evaluate()
     ev.accumulate()
     ev.summarize()
-    return float(ev.stats[1])  # AP50
+    return float(ev.stats[1]), _ap50_per_class(ev, num_classes)
 
 
-def make_batch_infer(idxs, images):
-    b = len(idxs)
-    return {
-        "image": np.stack([images[i] for i in idxs]),
-        "image_size": np.tile([[IMG_SIZE, IMG_SIZE]], (b, 1)).astype(np.int32),
-        "out_size": np.tile([[IMG_SIZE, IMG_SIZE]], (b, 1)).astype(np.int32),
-    }
+SPECS = {
+    "faster_rcnn": dict(iou="bbox", gate=0.9, num_classes=NUM_CLASSES),
+    "retinanet": dict(iou="bbox", gate=0.9, num_classes=NUM_CLASSES),
+    "mask_rcnn": dict(iou="segm", gate=0.8, num_classes=NUM_CLASSES),
+    "keypoint_rcnn": dict(iou="keypoints", gate=0.7, num_classes=1),
+}
 
 
-def run(model_name, max_iters, gate=0.9, batch_size=8, eval_every=200, log=print):
+def run(model_name, max_iters, batch_size=8, eval_every=200, log=print):
     import jax
 
     from fsgd_tpu.models import build_model
     from fsgd_tpu.parallel import create_train_state, make_train_step
     from fsgd_tpu.solver import build_optimizer
 
-    images, gts = make_dataset()
-    cfg = build_cfg(model_name)
+    spec = SPECS[model_name]
+    cfg = build_cfg(model_name, num_classes=spec["num_classes"])
+    images, gts = make_dataset(num_classes=spec["num_classes"])
     model = build_model(cfg)
     params = model.init_params(jax.random.PRNGKey(0), image_size=(IMG_SIZE, IMG_SIZE))
     optimizer = build_optimizer(cfg, params)
     state = create_train_state(params, optimizer)
     step = make_train_step(model.loss_fn, optimizer, mesh=None, donate=True)
 
+    mask_stride = cfg.TPU.GT_MASK_STRIDE if cfg.MODEL.MASK_ON else None
+    num_kpts = cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS if cfg.MODEL.KEYPOINT_ON else None
+
     rng = np.random.RandomState(0)
     t0 = time.time()
     ap50, it = 0.0, 0
+    per_class = []
     for it in range(1, max_iters + 1):
-        idxs = rng.choice(NUM_IMAGES, batch_size, replace=False)
-        batch = {k: jax.numpy.asarray(v) for k, v in make_batch(images, gts, idxs).items()}
+        idxs = rng.choice(len(images), batch_size, replace=False)
+        batch = make_batch(images, gts, idxs, mask_stride=mask_stride, num_kpts=num_kpts)
+        batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
         state, metrics = step(state, batch, jax.random.PRNGKey(it))
         if it % 50 == 0:
             loss = float(metrics["total_loss"])
             log(f"[{model_name}] iter {it}: loss {loss:.4f} ({time.time() - t0:.0f}s)")
         if it % eval_every == 0 or it == max_iters:
-            ap50 = eval_ap50(model, state.params, images, gts, batch_size)
-            log(f"[{model_name}] iter {it}: AP50 {ap50:.4f}")
-            if ap50 >= gate:
+            ap50, per_class = eval_coco(
+                model, state.params, images, gts,
+                iou_type=spec["iou"], num_classes=spec["num_classes"],
+                batch_size=batch_size,
+            )
+            log(f"[{model_name}] iter {it}: {spec['iou']} AP50 {ap50:.4f}")
+            if ap50 >= spec["gate"]:
                 break
     return {
         "model": model_name,
+        "metric": spec["iou"] + "_ap50",
         "ap50": round(ap50, 4),
         "iters": it,
-        "gate": gate,
-        "passed": bool(ap50 >= gate),
+        "gate": spec["gate"],
+        "passed": bool(ap50 >= spec["gate"]),
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# gambler-GAN gate: rare-class AP50 vs a plain RetinaNet baseline
+# ---------------------------------------------------------------------------
+
+GAMBLER_IMG = 256  # 5 FPN levels (strides 8..128) need size % 128 == 0
+GAMBLER_IMAGES = 32
+GAMBLER_PROBS = [0.80, 0.15, 0.05]
+
+
+def _gambler_detector_cfg():
+    cfg = build_cfg("retinanet", num_classes=NUM_CLASSES, img_size=GAMBLER_IMG)
+    return cfg
+
+
+def _train_plain_retinanet(images, gts, iters, batch_size, log):
+    import jax
+
+    from fsgd_tpu.models import build_model
+    from fsgd_tpu.parallel import create_train_state, make_train_step
+    from fsgd_tpu.solver import build_optimizer
+
+    cfg = _gambler_detector_cfg()
+    model = build_model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), image_size=(GAMBLER_IMG, GAMBLER_IMG))
+    optimizer = build_optimizer(cfg, params)
+    state = create_train_state(params, optimizer)
+    step = make_train_step(model.loss_fn, optimizer, mesh=None, donate=True)
+    rng = np.random.RandomState(0)
+    for it in range(1, iters + 1):
+        idxs = rng.choice(len(images), batch_size, replace=False)
+        batch = make_batch(images, gts, idxs, img_size=GAMBLER_IMG)
+        batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+        state, metrics = step(state, batch, jax.random.PRNGKey(it))
+        if it % 50 == 0:
+            log(f"[gambler/baseline] iter {it}: loss {float(metrics['total_loss']):.4f}")
+    return model, state.params
+
+
+def run_gambler(max_iters, batch_size=8, log=print):
+    """The fork's thesis as a gate: on a class-imbalanced set, the GANTrainer
+    detector's rare-class AP50 must match or beat a plain RetinaNet trained
+    for the same number of detector updates.
+
+    Mirrors reference ImbalanceDetection/train_net.py's GANTrainer experiment
+    loop (G/D alternation with betting-map loss reweighting).
+    """
+    import jax
+
+    from fsgd_tpu.config import add_gambler_config
+    from fsgd_tpu.gambler import GANTrainer
+    from fsgd_tpu.utils.events import EventStorage
+
+    t0 = time.time()
+    images, gts = make_dataset(
+        seed=11, num_images=GAMBLER_IMAGES, img_size=GAMBLER_IMG,
+        num_classes=NUM_CLASSES, class_probs=GAMBLER_PROBS,
+    )
+    rare = NUM_CLASSES - 1
+    n_rare = sum(int((c == rare).sum()) for _, c in gts)
+    log(f"[gambler] imbalanced set: {n_rare} rare-class instances")
+
+    # --- baseline ---
+    base_model, base_params = _train_plain_retinanet(images, gts, max_iters, batch_size, log)
+    _, base_pc = eval_coco(
+        base_model, base_params, images, gts,
+        iou_type="bbox", img_size=GAMBLER_IMG, batch_size=batch_size,
+    )
+    log(f"[gambler] baseline per-class AP50: {base_pc}")
+
+    # --- GAN ---
+    anchors = 9
+    cfg = _gambler_detector_cfg()
+    add_gambler_config(cfg)
+    g = cfg.MODEL.GAMBLER_HEAD
+    g.NAME = "LayeredUnetGambler"
+    g.GAMBLER_OUTPUT = "L_BAHW"
+    g.NUM_CLASSES = NUM_CLASSES
+    g.GAMBLER_IN_CHANNELS = NUM_CLASSES * anchors
+    g.GAMBLER_OUT_CHANNELS = anchors
+    g.IN_LAYERS = [GAMBLER_IMG // s for s in (8, 16, 32, 64, 128)]
+    g.GAMBLER_ITERATIONS = 1
+    g.DETECTOR_ITERATIONS = 1
+    g.VIS_PERIOD = 0
+
+    rng = np.random.RandomState(0)
+
+    def loader():
+        while True:
+            idxs = rng.choice(len(images), batch_size, replace=False)
+            yield make_batch(images, gts, idxs, img_size=GAMBLER_IMG)
+
+    trainer = GANTrainer(cfg, loader())
+    with EventStorage() as storage:
+        trainer.storage = storage
+        for it in range(2 * max_iters):  # 1/1 G/D split -> max_iters D updates
+            trainer.run_step()
+            storage.iter = it
+            if (it + 1) % 100 == 0:
+                log(f"[gambler/gan] step {it + 1}/{2 * max_iters} ({time.time() - t0:.0f}s)")
+    _, gan_pc = eval_coco(
+        trainer.detection_model, trainer.det_state.params, images, gts,
+        iou_type="bbox", img_size=GAMBLER_IMG, batch_size=batch_size,
+    )
+    log(f"[gambler] GAN per-class AP50: {gan_pc}")
+
+    return {
+        "model": "gambler_gan",
+        "metric": "rare_class_bbox_ap50",
+        "ap50": round(gan_pc[rare], 4),
+        "baseline_ap50": round(base_pc[rare], 4),
+        "per_class": [round(v, 4) for v in gan_pc],
+        "baseline_per_class": [round(v, 4) for v in base_pc],
+        "iters": max_iters,
+        "gate": "rare-class AP50 >= plain RetinaNet baseline (and > 0)",
+        "passed": bool(gan_pc[rare] >= base_pc[rare] and gan_pc[rare] > 0),
         "wall_s": round(time.time() - t0, 1),
     }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--models", default="faster_rcnn,retinanet")
+    ap.add_argument(
+        "--models",
+        default="faster_rcnn,retinanet,mask_rcnn,keypoint_rcnn,gambler_gan",
+    )
     ap.add_argument("--max-iters", type=int, default=1500)
-    ap.add_argument("--gate", type=float, default=0.9)
+    ap.add_argument("--gambler-iters", type=int, default=300)
     args = ap.parse_args()
 
     import jax
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-        )
+        jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
     except Exception:
         pass
 
-    rows = [run(m.strip(), args.max_iters, args.gate) for m in args.models.split(",")]
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CONVERGENCE.json")
-    with open(out, "w") as f:
-        json.dump(rows, f, indent=1)
-    print(json.dumps(rows))
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=repo,
+            capture_output=True, text=True,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+
+    rows = []
+    for m in args.models.split(","):
+        m = m.strip()
+        row = run_gambler(args.gambler_iters) if m == "gambler_gan" else run(m, args.max_iters)
+        row["commit"] = commit
+        rows.append(row)
+        _merge_and_write(repo, [row])  # persist incrementally: a crash keeps finished rows
+        print(json.dumps(row))
     if not all(r["passed"] for r in rows):
         sys.exit(1)
+
+
+def _merge_and_write(repo, rows):
+    """Merge rows into CONVERGENCE.json by model name — never drop old rows
+    (the round-2 regression: a partial rerun silently deleted the retinanet
+    row)."""
+    out = os.path.join(repo, "CONVERGENCE.json")
+    existing = []
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                existing = json.load(f)
+        except Exception:
+            existing = []
+    by_model = {r["model"]: r for r in existing}
+    for r in rows:
+        by_model[r["model"]] = r
+    with open(out, "w") as f:
+        json.dump(list(by_model.values()), f, indent=1)
 
 
 if __name__ == "__main__":

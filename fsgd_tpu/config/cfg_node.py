@@ -9,6 +9,7 @@ implemented fresh with no yacs dependency.
 
 from __future__ import annotations
 
+import ast
 import copy
 import io
 import os
@@ -218,9 +219,19 @@ class CfgNode(dict):
 
 
 def _decode_value(v):
-    """Decode a CLI string override into a Python value when possible."""
+    """Decode a CLI string override into a Python value when possible.
+
+    yacs semantics (yacs/config.py _decode_cfg_value): try a Python literal
+    first — this is what parses tuple overrides like ``"(15,)"`` — then fall
+    back to YAML for scalars (``true``, ``1e-4``, ``null``), then the raw
+    string.
+    """
     if not isinstance(v, str):
         return v
+    try:
+        return ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        pass
     try:
         return yaml.load(v, Loader=_CfgLoader)
     except yaml.YAMLError:
