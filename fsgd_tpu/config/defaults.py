@@ -265,6 +265,9 @@ _DEFAULTS = dict(
         PREFETCH=2,
         # Donate input buffers to the jitted train step.
         DONATE=True,
+        # Persistent XLA compile cache directory ("" disables).  First compile
+        # of the big train programs is 1-5 min; reruns hit this cache.
+        COMPILE_CACHE_DIR=".jax_cache",
     ),
 )
 

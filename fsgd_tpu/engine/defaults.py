@@ -81,6 +81,14 @@ def default_setup(cfg, args):
             f.write(cfg.dump())
         logger.info("Full config saved to {}".format(os.path.abspath(path)))
     seed_all_rng(None if cfg.SEED < 0 else cfg.SEED + rank)
+    cache_dir = getattr(cfg.TPU, "COMPILE_CACHE_DIR", "")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+            logger.info("XLA compile cache at {}".format(os.path.abspath(cache_dir)))
+        except Exception:
+            logger.exception("could not enable the XLA compile cache")
     return logger
 
 
