@@ -13,6 +13,8 @@ from typing import Dict, List, Union
 
 import numpy as np
 
+from ..native import load_rle as _load_native_rle
+
 __all__ = [
     "encode",
     "decode",
@@ -38,19 +40,31 @@ def _counts_from_mask(mask: np.ndarray) -> List[int]:
 
 
 def _mask_from_counts(counts: List[int], h: int, w: int) -> np.ndarray:
-    flat = np.zeros(h * w, dtype=np.uint8)
-    pos = 0
-    val = 0
-    for c in counts:
-        if val:
-            flat[pos : pos + c] = 1
-        pos += c
-        val ^= 1
-    return flat.reshape((h, w), order="F")
+    n = len(counts)
+    vals = (np.arange(n, dtype=np.uint8) & 1).astype(np.uint8)  # 0,1,0,1,...
+    flat = np.repeat(vals, np.asarray(counts, dtype=np.int64))
+    if flat.size < h * w:  # tolerate short counts (zero-pad like maskApi)
+        flat = np.concatenate([flat, np.zeros(h * w - flat.size, np.uint8)])
+    return flat[: h * w].reshape((h, w), order="F")
 
 
 def _compress_counts(counts: List[int]) -> bytes:
     """COCO's LEB128-ish base-48 varint with delta coding for runs >= 3rd."""
+    lib = _load_native_rle()
+    if lib is not None and counts:
+        arr = np.ascontiguousarray(counts, dtype=np.int64)
+        cap = 8 * arr.size + 16
+        buf = np.zeros(cap, dtype=np.uint8)
+        import ctypes
+
+        n = lib.rle_compress(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            arr.size,
+            buf.ctypes.data_as(ctypes.c_char_p),
+            cap,
+        )
+        if n >= 0:
+            return buf[:n].tobytes()
     out = bytearray()
     for i, x in enumerate(counts):
         if i > 2:
@@ -72,6 +86,17 @@ def _compress_counts(counts: List[int]) -> bytes:
 def _decompress_counts(s: Union[bytes, str]) -> List[int]:
     if isinstance(s, str):
         s = s.encode("ascii")
+    lib = _load_native_rle()
+    if lib is not None and s:
+        import ctypes
+
+        cap = len(s) + 4  # every count needs >= 1 byte
+        out = np.zeros(cap, dtype=np.int64)
+        n = lib.rle_decompress(
+            s, len(s), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap
+        )
+        if n >= 0:
+            return out[:n].tolist()
     counts: List[int] = []
     i = 0
     while i < len(s):
@@ -170,6 +195,31 @@ def rle_iou(dets: List[Dict], gts: List[Dict], iscrowd: List[bool]) -> np.ndarra
     out = np.zeros((d, g), dtype=np.float64)
     det_counts = [_counts_of(r) for r in dets]
     gt_counts = [_counts_of(r) for r in gts]
+    lib = _load_native_rle()
+    if lib is not None and d and g:
+        import ctypes
+
+        def _flatten(lists):
+            offsets = np.zeros(len(lists) + 1, dtype=np.int64)
+            np.cumsum([len(c) for c in lists], out=offsets[1:])
+            flat = np.ascontiguousarray(
+                np.concatenate([np.asarray(c, np.int64) for c in lists])
+                if offsets[-1]
+                else np.zeros(0, np.int64)
+            )
+            return flat, offsets
+
+        dflat, doff = _flatten(det_counts)
+        gflat, goff = _flatten(gt_counts)
+        crowd = np.ascontiguousarray(iscrowd, dtype=np.uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.rle_iou_matrix(
+            dflat.ctypes.data_as(i64p), doff.ctypes.data_as(i64p), d,
+            gflat.ctypes.data_as(i64p), goff.ctypes.data_as(i64p), g,
+            crowd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out
     det_areas = [sum(c[1::2]) for c in det_counts]
     gt_areas = [sum(c[1::2]) for c in gt_counts]
     for j in range(g):
