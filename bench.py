@@ -183,6 +183,43 @@ def run_one(metric):
     print(_ROW_TAG + json.dumps(row), flush=True)
 
 
+def _tpu_alive(timeout=150):
+    """Cheap tunnel-health probe in a throwaway subprocess.
+
+    A wedged axon tunnel HANGS the first computation instead of erroring
+    (observed live: jnp.ones((8,8)).sum() never returns), so without this
+    probe every metric attempt would burn its full 2400s timeout.
+    """
+    code = "import jax.numpy as jnp; print('ALIVE', float(jnp.ones((8,8)).sum()))"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout, cwd=_REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return "ALIVE" in proc.stdout
+
+
+def _wait_for_tpu(max_wait=1200):
+    """Block until the tunnel answers, up to max_wait seconds.  Returns bool."""
+    t0 = time.time()
+    attempt = 0
+    while time.time() - t0 < max_wait:
+        if _tpu_alive():
+            return True
+        attempt += 1
+        print(
+            "[bench] TPU tunnel unresponsive (probe {}, {:.0f}s elapsed); retrying".format(
+                attempt, time.time() - t0
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(min(60, 15 * attempt))
+    return False
+
+
 def _run_metric_subprocess(metric, attempts=3, timeout=2400):
     """Run one metric in an isolated subprocess with retries.
 
@@ -249,7 +286,26 @@ def _merge_detail(new_rows_by_metric):
 def main():
     new_rows = {}
     errors = {}
+    if not _wait_for_tpu():
+        # fail fast and loud: no value-0.0 rows, BENCH_DETAIL keeps old rows
+        _merge_detail({m: None for m in METRICS})
+        print(
+            json.dumps(
+                {
+                    "metric": NORTH_STAR + "_imgs_per_sec_per_chip",
+                    "value": None,
+                    "unit": "img/s/chip",
+                    "vs_baseline": None,
+                    "error": "TPU tunnel unresponsive for 20 min (probe hangs)",
+                }
+            )
+        )
+        return 1
     for metric in METRICS:
+        if not _wait_for_tpu(max_wait=600):
+            errors[metric] = "TPU tunnel unresponsive before metric"
+            new_rows[metric] = None
+            continue
         row, err = _run_metric_subprocess(metric)
         new_rows[metric] = row
         if row is not None:
