@@ -474,9 +474,19 @@ def main():
     ap.add_argument("--gambler-iters", type=int, default=300)
     args = ap.parse_args()
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+        # A wedged axon tunnel HANGS the first computation (no error), which
+        # would stall this harness silently for hours; probe in a throwaway
+        # subprocess first (same contract as bench._tpu_alive).
+        sys.path.insert(0, repo)
+        import bench
+
+        if not bench._wait_for_tpu(max_wait=600):
+            sys.exit("run_convergence: TPU tunnel unresponsive (probe hangs); aborting")
+
     import jax
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
     except Exception:
