@@ -80,10 +80,39 @@ def main():
         proposals, losses = model._proposals(p, features, b, r1, True)
         return sum(losses.values()) + 0 * jnp.sum(proposals["scores"]), {}
 
+    def with_sample(p, b, r):
+        r1, r2 = jax.random.split(r)
+        images, features = model._features(p, b)
+        proposals, losses = model._proposals(p, features, b, r1, True)
+        rh = model.roi_heads
+        sampled = rh.label_and_sample_proposals(proposals, b, r2)
+        return (
+            sum(losses.values())
+            + 0 * jnp.sum(sampled["boxes"].astype(jnp.float32))
+            + 0 * jnp.sum(sampled["gt_classes"])
+        ), {}
+
+    def with_pool(p, b, r):
+        r1, r2 = jax.random.split(r)
+        images, features = model._features(p, b)
+        proposals, losses = model._proposals(p, features, b, r1, True)
+        rh = model.roi_heads
+        sampled = rh.label_and_sample_proposals(proposals, b, r2)
+        sampled = jax.tree.map(jax.lax.stop_gradient, sampled)
+        feats = [features[f] for f in rh.in_features]
+        pooled = rh.box_pooler(feats, sampled["boxes"])
+        return sum(losses.values()) + jnp.mean(pooled.astype(jnp.float32)), {}
+
     def full(p, b, r):
         return model.loss_fn(p, b, r)
 
-    stages = [("backbone", backbone_only), ("+rpn", with_rpn), ("full_train", full)]
+    stages = [
+        ("backbone", backbone_only),
+        ("+rpn", with_rpn),
+        ("+sample", with_sample),
+        ("+pool", with_pool),
+        ("full_train", full),
+    ]
 
     rows = []
     for label, fn in stages:
