@@ -63,8 +63,14 @@ def main():
 
         g = jax.jit(jax.grad(value))
 
-        def run():
-            return jax.block_until_ready(g(params, batch, rng))
+        def run(iters=1):
+            # one blocking call per WINDOW, not per iter: through the remote
+            # TPU tunnel a per-iter block_until_ready adds a full round-trip
+            # of dispatch latency (~30-80 ms jitter) to every sample
+            out = None
+            for _ in range(iters):
+                out = g(params, batch, rng)
+            return jax.block_until_ready(out)
 
         return run
 
@@ -86,6 +92,8 @@ def main():
         proposals, losses = model._proposals(p, features, b, r1, True)
         rh = model.roi_heads
         sampled = rh.label_and_sample_proposals(proposals, b, r2)
+        # mirror forward_train: sampling targets carry no gradient
+        sampled = jax.tree.map(jax.lax.stop_gradient, sampled)
         return (
             sum(losses.values())
             + 0 * jnp.sum(sampled["boxes"].astype(jnp.float32))
@@ -123,8 +131,7 @@ def main():
         # warm
         run()
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            run()
+        run(args.iters)
         dt = (time.perf_counter() - t0) / args.iters
         rows.append({"stage": label, "step_s": round(dt, 4), "imgs_per_s": round(args.batch / dt, 2),
                      "compile_s": round(compile_s, 1)})
@@ -134,8 +141,10 @@ def main():
     inf = jax.jit(model.inference_fn)
     jax.block_until_ready(inf(params, batch))
     t0 = time.perf_counter()
+    out = None
     for _ in range(args.iters):
-        jax.block_until_ready(inf(params, batch))
+        out = inf(params, batch)
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / args.iters
     rows.append({"stage": "infer", "step_s": round(dt, 4), "imgs_per_s": round(args.batch / dt, 2)})
     print(rows[-1], file=sys.stderr)

@@ -212,9 +212,43 @@ def roi_align_packed(
     )
 
     if jax.default_backend() == "tpu":
-        from .pallas_roi_align import roi_align_windows_pallas
+        w_small = 32
+        if window > w_small:
+            # Bucketed two-pass kernel: the 48-cell window exists only for
+            # extreme-aspect rois; pooling every roi through it moves ~5x the
+            # necessary HBM bytes (see pallas_roi_align.py).  Rois whose
+            # clipped span fits the small window are exact in pass 1; the
+            # rest pool through the original large window in pass 2 (each
+            # pass compacted to a grid prefix, so both stay double-buffered).
+            from .pallas_roi_align import roi_align_windows_bucketed
 
-        out = roi_align_windows_pallas(packed, starts, wy, wx, window, ph)
+            scale_pb = scales[flat_levels]
+            offset = 0.5 if aligned else 0.0
+            bx1 = flat_boxes[:, 0] * scale_pb - offset
+            by1 = flat_boxes[:, 1] * scale_pb - offset
+            roi_w = flat_boxes[:, 2] * scale_pb - offset - bx1
+            roi_h = flat_boxes[:, 3] * scale_pb - offset - by1
+            if not aligned:
+                roi_w = jnp.maximum(roi_w, 1.0)
+                roi_h = jnp.maximum(roi_h, 1.0)
+            h_lf = heights_a[flat_levels].astype(jnp.float32)
+            w_lf = widths_a[flat_levels].astype(jnp.float32)
+            small = (jnp.minimum(roi_h, h_lf) <= w_small - 2) & (
+                jnp.minimum(roi_w, w_lf) <= w_small - 1
+            )
+            starts_s, wy_s, wx_s = _window_meta(
+                batch_idx, flat_boxes, flat_levels,
+                row_offsets, heights_a, widths_a, scales,
+                ph, pw, grid, w_small, aligned,
+            )
+            out = roi_align_windows_bucketed(
+                packed, starts_s, wy_s, wx_s, starts, wy, wx, small,
+                w_small, window, ph,
+            )
+        else:
+            from .pallas_roi_align import roi_align_windows_pallas
+
+            out = roi_align_windows_pallas(packed, starts, wy, wx, window, ph)
     else:
         out = _xla_windows(packed, starts, wy, wx, window, roi_chunk)
     return out.reshape(b, p, ph, pw, -1)

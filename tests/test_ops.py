@@ -486,3 +486,94 @@ class TestPallasRoiAlign:
         g_pallas = jax.grad(loss_pallas)(packed)
         g_xla = jax.grad(loss_xla)(packed)
         np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-4, atol=1e-4)
+
+
+class TestPallasRoiAlignBucketed:
+    """Bucketed two-pass kernel == XLA gather formulation, fwd + VJP
+    (interpret mode; fsgd_tpu/ops/pallas_roi_align.py
+    roi_align_windows_bucketed)."""
+
+    def _setup(self, seed=2):
+        from fsgd_tpu.ops.roi_align_packed import _window_meta, pack_feature_pyramid
+
+        rng = np.random.RandomState(seed)
+        window_l, window_s, ph = 24, 16, 7
+        feats = [
+            jnp.asarray(rng.randn(2, 32, 40, 8).astype(np.float32)),
+            jnp.asarray(rng.randn(2, 16, 20, 8).astype(np.float32)),
+        ]
+        packed, row_offsets, heights, widths = pack_feature_pyramid(feats, window_l)
+        n = 14
+        boxes = np.zeros((n, 4), np.float32)
+        boxes[:, 0] = rng.uniform(0, 100, n)
+        boxes[:, 1] = rng.uniform(0, 80, n)
+        boxes[:, 2] = boxes[:, 0] + rng.uniform(8, 40, n)
+        boxes[:, 3] = boxes[:, 1] + rng.uniform(8, 40, n)
+        # a few extreme-aspect boxes land in the large bucket
+        boxes[0, 2] = boxes[0, 0] + 120.0
+        boxes[7, 3] = boxes[7, 1] + 110.0
+        # duplicate for RMW conflict coverage
+        boxes[5] = boxes[4]
+        levels = rng.randint(0, 2, n)
+        levels[0] = 0  # pin the extreme-aspect boxes to the fine level so
+        levels[7] = 0  # their spans exceed the small window
+        levels[5] = levels[4]
+        batch_idx = rng.randint(0, 2, n)
+        batch_idx[5] = batch_idx[4]
+        levels = jnp.asarray(levels, jnp.int32)
+        batch_idx = jnp.asarray(batch_idx, jnp.int32)
+        scales = jnp.asarray([0.25, 0.125], jnp.float32)
+        args = (batch_idx, jnp.asarray(boxes), levels,
+                jnp.asarray(row_offsets, jnp.int32), jnp.asarray(heights, jnp.int32),
+                jnp.asarray(widths, jnp.int32), scales)
+        starts_l, wy_l, wx_l = _window_meta(*args, ph, ph, 2, window_l, True)
+        starts_s, wy_s, wx_s = _window_meta(*args, ph, ph, 2, window_s, True)
+        # span-based mask, mirroring roi_align_packed
+        scale_pb = scales[levels]
+        bx1 = boxes[:, 0] * np.asarray(scale_pb) - 0.5
+        by1 = boxes[:, 1] * np.asarray(scale_pb) - 0.5
+        roi_w = boxes[:, 2] * np.asarray(scale_pb) - 0.5 - bx1
+        roi_h = boxes[:, 3] * np.asarray(scale_pb) - 0.5 - by1
+        h_lf = np.asarray(heights)[np.asarray(levels)].astype(np.float32)
+        w_lf = np.asarray(widths)[np.asarray(levels)].astype(np.float32)
+        small = (np.minimum(roi_h, h_lf) <= window_s - 2) & (
+            np.minimum(roi_w, w_lf) <= window_s - 1
+        )
+        assert small.any() and (~small).any(), "test must cover both buckets"
+        return (packed, starts_s, wy_s, wx_s, starts_l, wy_l, wx_l,
+                jnp.asarray(small), window_s, window_l, ph)
+
+    def test_interpret_matches_xla_windows(self):
+        from fsgd_tpu.ops.roi_align_packed import _xla_windows
+        from fsgd_tpu.ops.pallas_roi_align import roi_align_windows_bucketed
+
+        (packed, starts_s, wy_s, wx_s, starts_l, wy_l, wx_l, small,
+         window_s, window_l, ph) = self._setup()
+        want = np.asarray(_xla_windows(packed, starts_l, wy_l, wx_l, window_l, 4))
+        got = np.asarray(roi_align_windows_bucketed(
+            packed, starts_s, wy_s, wx_s, starts_l, wy_l, wx_l, small,
+            window_s, window_l, ph, True,
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_interpret_vjp_matches_xla_grad(self):
+        from fsgd_tpu.ops.roi_align_packed import _xla_windows
+        from fsgd_tpu.ops.pallas_roi_align import roi_align_windows_bucketed
+
+        (packed, starts_s, wy_s, wx_s, starts_l, wy_l, wx_l, small,
+         window_s, window_l, ph) = self._setup(seed=3)
+
+        def loss_bucketed(p):
+            out = roi_align_windows_bucketed(
+                p, starts_s, wy_s, wx_s, starts_l, wy_l, wx_l, small,
+                window_s, window_l, ph, True,
+            )
+            return jnp.sum(out * out)
+
+        def loss_xla(p):
+            out = _xla_windows(p, starts_l, wy_l, wx_l, window_l, 4)
+            return jnp.sum(out * out)
+
+        g_b = jax.grad(loss_bucketed)(packed)
+        g_x = jax.grad(loss_xla)(packed)
+        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_x), rtol=1e-4, atol=1e-4)
