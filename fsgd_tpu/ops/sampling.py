@@ -68,6 +68,23 @@ def subsample_labels(
     return pos_idx.astype(jnp.int32), pos_valid, neg_idx.astype(jnp.int32), neg_valid
 
 
+def _threshold_mask(eligible: jnp.ndarray, num_keep: jnp.ndarray, cap: int, rng) -> jnp.ndarray:
+    """Mask of exactly ``num_keep`` uniformly-random eligible slots.
+
+    Selects the top-``num_keep`` by PRNG noise — the same set the index
+    variant's top_k picks — but as a rank-threshold compare instead of a
+    scatter (256 single-element scatter updates per image ran ~2.5 ms/step
+    in the RPN at 268k anchors; this is two fused passes)."""
+    n = eligible.shape[0]
+    noise = jnp.where(eligible, jax.random.uniform(rng, (n,)), -jnp.inf)
+    k = min(cap, n)
+    top_vals, _ = jax.lax.top_k(noise, k)
+    # k-th largest noise among eligible = selection threshold (ties have
+    # measure zero for uniform floats)
+    kth = top_vals[jnp.clip(num_keep - 1, 0, k - 1)]
+    return eligible & (noise >= kth) & (num_keep > 0)
+
+
 def subsample_labels_mask(
     labels: jnp.ndarray,
     num_samples: int,
@@ -76,10 +93,14 @@ def subsample_labels_mask(
     rng: jax.Array,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mask variant: returns (pos_mask, neg_mask) over the original N slots."""
-    n = labels.shape[0]
-    pos_idx, pos_valid, neg_idx, neg_valid = subsample_labels(
-        labels, num_samples, positive_fraction, bg_label, rng
-    )
-    pos_mask = jnp.zeros((n,), bool).at[pos_idx].max(pos_valid)
-    neg_mask = jnp.zeros((n,), bool).at[neg_idx].max(neg_valid)
+    positive = (labels != -1) & (labels != bg_label)
+    negative = labels == bg_label
+
+    num_pos_cap = int(num_samples * positive_fraction)
+    num_pos = jnp.minimum(num_pos_cap, jnp.sum(positive))
+    num_neg = jnp.minimum(num_samples - num_pos, jnp.sum(negative))
+
+    k_pos, k_neg = jax.random.split(rng)
+    pos_mask = _threshold_mask(positive, num_pos, num_samples, k_pos)
+    neg_mask = _threshold_mask(negative, num_neg, num_samples, k_neg)
     return pos_mask, neg_mask
