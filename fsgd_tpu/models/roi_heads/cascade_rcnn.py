@@ -130,7 +130,11 @@ class CascadeROIHeads(StandardROIHeads):
         losses = {}
         for stage in range(self.num_cascade_stages):
             logits, deltas = self._run_stage(params, feats, boxes, stage)
-            gt_boxes_matched = jnp.take_along_axis(batch["gt_boxes"], gt_idx[..., None], axis=1)
+            # one-hot contraction, not take_along_axis (see StandardROIHeads)
+            onehot = jax.nn.one_hot(
+                gt_idx, batch["gt_boxes"].shape[1], dtype=batch["gt_boxes"].dtype
+            )
+            gt_boxes_matched = jnp.einsum("bsg,bgd->bsd", onehot, batch["gt_boxes"])
             transform = self.cascade_transforms[stage]
             stage_losses = fast_rcnn_losses(
                 transform,

@@ -120,7 +120,11 @@ class Res5ROIHeads(ROIHeads):
         logits, deltas = self.box_predictor_module.apply(
             {"params": params["box_predictor"]}, res5_out.mean(axis=(1, 2))
         )
-        gt_boxes_matched = jnp.take_along_axis(batch["gt_boxes"], sampled["gt_idx"][..., None], axis=1)
+        # one-hot contraction, not take_along_axis (see StandardROIHeads note)
+        onehot = jax.nn.one_hot(
+            sampled["gt_idx"], batch["gt_boxes"].shape[1], dtype=batch["gt_boxes"].dtype
+        )
+        gt_boxes_matched = jnp.einsum("bsg,bgd->bsd", onehot, batch["gt_boxes"])
         losses = fast_rcnn_losses(
             self.box2box_transform,
             logits,
