@@ -101,13 +101,21 @@ class TrainerBase:
 class SimpleTrainer(TrainerBase):
     """Single-model single-optimizer loop over a jitted train step."""
 
-    def __init__(self, model, data_loader, optimizer, mesh=None):
+    def __init__(self, model, data_loader, optimizer, mesh=None, metric_log_period=20):
         """
         Args:
             model: a DetectorBase with ``loss_fn(params, batch, rng)``.
             data_loader: iterable of host batch dicts.
             optimizer: optax transformation.
             mesh: optional jax Mesh for data parallelism.
+            metric_log_period: materialize step metrics on the host every N
+                iterations instead of every step.  A per-iter ``float(v)``
+                blocks the dispatch pipeline on the device (and, through a
+                remote-chip tunnel, adds a full round-trip per scalar);
+                deferring keeps steps async and fetches N iterations of
+                scalars in one transfer.  Logged values and their iteration
+                tags are identical — only their materialization time moves.
+                1 restores fully synchronous behavior.
         """
         super().__init__()
         from ..parallel import create_train_state, make_train_step, shard_batch
@@ -117,6 +125,8 @@ class SimpleTrainer(TrainerBase):
         self._data_loader_iter = iter(data_loader)
         self.optimizer = optimizer
         self.mesh = mesh
+        self.metric_log_period = max(int(metric_log_period), 1)
+        self._pending_metrics = []  # [(iter, device metric dict, data_time)]
         self._shard_batch = (lambda b: shard_batch(b, mesh)) if mesh is not None else (lambda b: b)
         self.train_step = make_train_step(model.loss_fn, optimizer, mesh=mesh)
         self.state = create_train_state(model.params, optimizer)
@@ -134,23 +144,54 @@ class SimpleTrainer(TrainerBase):
         self._rng, step_rng = jax.random.split(self._rng)
         self.state, metrics = self.train_step(self.state, self._shard_batch(batch), step_rng)
         self.model.params = self.state.params
-        self._write_metrics(metrics, data_time)
+        self._pending_metrics.append((self.iter, metrics, data_time))
+        # flush on the period boundary so after_step writers see fresh data
+        if len(self._pending_metrics) >= self.metric_log_period or (
+            self.iter + 1
+        ) % self.metric_log_period == 0:
+            self.flush_metrics()
 
-    def _detect_anomaly(self, metrics: Dict[str, float]):
-        """Raise on non-finite loss (reference train_loop.py:235-241)."""
+    def after_train(self):
+        self.flush_metrics()
+        super().after_train()
+
+    def flush_metrics(self):
+        """Materialize and log all pending step metrics (one batched device
+        transfer), preserving each step's iteration tag."""
+        if not self._pending_metrics:
+            return
+        pending, self._pending_metrics = self._pending_metrics, []
+        host_all = jax.device_get([m for (_, m, _) in pending])
+        saved_iter = self.storage.iter if self.storage is not None else None
+        try:
+            for (it, _, data_time), host_m in zip(pending, host_all):
+                host = {k: float(v) for k, v in host_m.items() if np.ndim(v) == 0}
+                self._detect_anomaly(host, it)
+                host["data_time"] = data_time
+                if self.storage is not None:
+                    self.storage.iter = it
+                self._write_metrics(host)
+        finally:
+            if self.storage is not None and saved_iter is not None:
+                self.storage.iter = saved_iter
+
+    def _detect_anomaly(self, metrics: Dict[str, float], it=None):
+        """Raise on non-finite loss (reference train_loop.py:235-241).
+
+        With deferred metrics the raise can trail the bad step by up to
+        ``metric_log_period`` iterations; the functional NaN-skip in the
+        train step already guaranteed the bad update never touched params.
+        """
         if metrics.get("nonfinite", 0.0) > 0:
             raise FloatingPointError(
-                "Loss became infinite or NaN at iteration={}! Metrics: {}".format(self.iter, metrics)
+                "Loss became infinite or NaN at iteration={}! Metrics: {}".format(
+                    self.iter if it is None else it, metrics
+                )
             )
 
-    def _write_metrics(self, metrics: Dict, data_time: float):
+    def _write_metrics(self, host: Dict[str, float]):
         """Host-side metric logging with cross-process reduction
         (reference train_loop.py:243-272)."""
-        device_metrics = {k: v for k, v in metrics.items() if np.ndim(v) == 0}
-        host = {k: float(v) for k, v in device_metrics.items()}
-        self._detect_anomaly(host)
-        host["data_time"] = data_time
-
         all_metrics = comm.gather(host)
         if comm.is_main_process():
             # data_time: max across workers; everything else: mean
