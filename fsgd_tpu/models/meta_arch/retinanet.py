@@ -215,11 +215,18 @@ class RetinaNet(DetectorBase):
         """
 
         def per_image(gt_boxes, gt_classes_in, gt_valid):
-            quality = pairwise_iou(gt_boxes, anchors_cat)  # (G, R)
-            matched_idxs, anchor_labels = self.matcher(quality, gt_valid)
-            matched_boxes = gt_boxes[matched_idxs]  # (R, 4)
+            # streamed matcher: reductions fused over anchor chunks, no (G, R)
+            # IoU matrix in HBM (ops/matcher.py match_streamed)
+            matched_idxs, anchor_labels, _ = self.matcher.match_streamed(
+                gt_boxes, gt_valid, anchors_cat, pairwise_iou
+            )
+            # one-hot contraction, not gt_boxes[matched_idxs]: the (R,) gather
+            # of 16-byte rows is ~10ms/step on TPU; the matmul is ~1ms (exact
+            # for class ids too — small ints are representable in fp32)
+            onehot = jax.nn.one_hot(matched_idxs, gt_boxes.shape[0], dtype=gt_boxes.dtype)
+            matched_boxes = onehot @ gt_boxes
             deltas = self.box2box_transform.get_deltas(anchors_cat, matched_boxes)
-            classes = gt_classes_in[matched_idxs]
+            classes = jnp.rint(onehot @ gt_classes_in.astype(onehot.dtype)).astype(jnp.int32)
             classes = jnp.where(anchor_labels == 0, self.num_classes, classes)
             classes = jnp.where(anchor_labels == -1, -1, classes)
             return classes.astype(jnp.int32), deltas
@@ -231,8 +238,9 @@ class RetinaNet(DetectorBase):
         foreground (reference retinanet.py:370-429)."""
 
         def per_image(gt_boxes, gt_valid):
-            quality = pairwise_iou(gt_boxes, anchors_cat)
-            _, anchor_labels = self.picky_matcher(quality, gt_valid)
+            _, anchor_labels, _ = self.picky_matcher.match_streamed(
+                gt_boxes, gt_valid, anchors_cat, pairwise_iou
+            )
             return (anchor_labels == 1).astype(jnp.int32)
 
         return jax.vmap(per_image)(batch["gt_boxes"], batch["gt_valid"])

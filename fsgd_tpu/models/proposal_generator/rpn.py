@@ -123,6 +123,18 @@ class RPN:
     def _pairwise_iou(self, gt_boxes, anchors):
         return pairwise_iou(gt_boxes, anchors)
 
+    def _match_anchors(self, gt_boxes, gt_valid, anchors_cat):
+        """(matches, labels) without materializing the (G, R) IoU matrix.
+
+        The streamed matcher recomputes the cheap axis-aligned IoU into each
+        reduction; RRPN overrides this with the dense path (rotated IoU is
+        polygon clipping — recomputing it would double real compute).
+        """
+        matches, labels, _ = self.anchor_matcher.match_streamed(
+            gt_boxes, gt_valid, anchors_cat, self._pairwise_iou
+        )
+        return matches, labels
+
     def _clip_boxes(self, boxes, image_size):
         return Boxes(boxes).clip((image_size[0], image_size[1])).tensor
 
@@ -145,8 +157,7 @@ class RPN:
         """(B, R) labels in {-1, 0, 1} after resampling + (B, R, 4) deltas."""
 
         def per_image(gt_boxes, gt_valid, image_size, rng_i):
-            quality = self._pairwise_iou(gt_boxes, anchors_cat)
-            matched_idxs, labels = self.anchor_matcher(quality, gt_valid)
+            matched_idxs, labels = self._match_anchors(gt_boxes, gt_valid, anchors_cat)
             labels = labels.astype(jnp.int32)
             if self.boundary_threshold >= 0:
                 inside = self._inside_image(anchors_cat, image_size, self.boundary_threshold)

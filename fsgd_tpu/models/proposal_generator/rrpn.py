@@ -40,6 +40,13 @@ class RRPN(RPN):
     def _pairwise_iou(self, gt_boxes, anchors):
         return pairwise_iou_rotated(gt_boxes, anchors)
 
+    def _match_anchors(self, gt_boxes, gt_valid, anchors_cat):
+        # dense path: rotated IoU (polygon clipping) is compute-bound, so the
+        # streamed matcher's recompute-into-reductions trade is a loss here
+        quality = self._pairwise_iou(gt_boxes, anchors_cat)
+        matches, labels = self.anchor_matcher(quality, gt_valid)
+        return matches, labels
+
     def _clip_boxes(self, boxes, image_size):
         return RotatedBoxes(boxes).clip((image_size[0], image_size[1])).tensor
 

@@ -9,8 +9,9 @@ jnp (jit/vmap-friendly — SURVEY.md section 7 "per-image Python loops").
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Callable, List, Optional
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["Matcher"]
@@ -71,6 +72,96 @@ class Matcher:
             match_labels = self._set_low_quality_matches(match_labels, m, gt_valid)
 
         return matches, match_labels
+
+    def match_streamed(
+        self,
+        gt_boxes: jnp.ndarray,
+        gt_valid: Optional[jnp.ndarray],
+        anchors: jnp.ndarray,
+        iou_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+        chunk: int = 16384,
+    ):
+        """Same result as ``__call__(iou_fn(gt_boxes, anchors), gt_valid)`` but
+        streamed over anchor chunks, plus the per-anchor matched quality.
+
+        The dense path materializes the (M, N) quality matrix in HBM and then
+        reads it back for every reduction (max/argmax over M, per-GT max over
+        N, the tie-rescue equality scan) — at RPN scale that is a ~550 MB
+        fp32 tensor touched ~5 times per step.  Here one `lax.scan` step
+        computes IoU for one anchor chunk and reduces it in place, so HBM
+        sees only per-anchor outputs.
+
+        The low-quality rescue ("ties at the per-GT max become positive") is
+        equality-based, so it must never compare values from two different
+        compilations of ``iou_fn`` — XLA is free to fuse FMAs differently per
+        shape, shifting the last ulp.  All equality material is therefore
+        captured on the single IoU instance inside the scan: each anchor
+        records a packed per-GT bitmask of "ties this chunk's per-GT max",
+        and each chunk records that max; afterwards a chunk's ties are
+        promoted to rescues exactly where its stored chunk max equals the
+        stored global max (comparisons between stored fp32 values — exact).
+        Padded chunk-tail anchors (zero boxes → IoU 0 against any valid GT)
+        cannot raise a per-GT max above a real positive overlap (rescue
+        requires quality > 0), and their outputs are sliced off.
+
+        Returns:
+            matches: (N,) int32; match_labels: (N,) int8; matched_vals: (N,)
+            f32 quality of the selected GT (used by the picky-matcher mask).
+        """
+        n = anchors.shape[0]
+        m = gt_boxes.shape[0]
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        a = jnp.pad(anchors, ((0, pad), (0, 0)))
+        a = a.reshape(n_chunks, chunk, anchors.shape[1])
+        n_words = -(-m // 32)
+        lane = jnp.arange(m, dtype=jnp.uint32) % 32  # bit position within word
+
+        def pass1(gt_max, a_chunk):
+            q = iou_fn(gt_boxes, a_chunk)
+            if gt_valid is not None:
+                q = jnp.where(gt_valid[:, None], q, -1.0)
+            mv = jnp.max(q, axis=0)
+            mi = jnp.argmax(q, axis=0).astype(jnp.int32)
+            cmax = jnp.max(q, axis=1)  # (M,) this chunk's per-GT max
+            outs = (mv, mi)
+            if self.allow_low_quality_matches:
+                # per-anchor tie bits against THIS q instance (same values
+                # the chunk max was reduced from — equality is safe)
+                ties = (q == cmax[:, None]).astype(jnp.uint32) << lane[:, None]  # (M, CH)
+                tie_words = jnp.stack(
+                    [ties[w * 32:(w + 1) * 32].sum(axis=0, dtype=jnp.uint32) for w in range(n_words)],
+                    axis=1,
+                )  # (CH, n_words); distinct bits, so sum == bitwise-or
+                outs = (mv, mi, cmax, tie_words)
+            return jnp.maximum(gt_max, cmax), outs
+
+        gt_max, outs = jax.lax.scan(pass1, jnp.full((m,), -jnp.inf, jnp.float32), a)
+        matched_vals = outs[0].reshape(-1)[:n]
+        matches = outs[1].reshape(-1)[:n]
+
+        match_labels = jnp.full(matches.shape, 1, dtype=jnp.int8)
+        for l, low, high in zip(self.labels, self.thresholds[:-1], self.thresholds[1:]):
+            in_bucket = (matched_vals >= low) & (matched_vals < high)
+            match_labels = jnp.where(in_bucket, jnp.int8(l), match_labels)
+
+        if self.allow_low_quality_matches:
+            chunk_max, tie_words = outs[2], outs[3]  # (K, M), (K, CH, n_words)
+            positive_gt = gt_max > 0
+            if gt_valid is not None:
+                positive_gt = positive_gt & gt_valid
+            # a chunk's tie bit counts iff that chunk attains the global max
+            cond = (chunk_max == gt_max[None, :]) & positive_gt[None, :]  # (K, M)
+            cond_bits = cond.astype(jnp.uint32) << lane[None, :]
+            cond_words = jnp.stack(
+                [cond_bits[:, w * 32:(w + 1) * 32].sum(axis=1, dtype=jnp.uint32) for w in range(n_words)],
+                axis=1,
+            )  # (K, n_words)
+            hit = (tie_words & cond_words[:, None, :]) != 0  # (K, CH, n_words)
+            rescue = jnp.any(hit, axis=-1).reshape(-1)[:n]
+            match_labels = jnp.where(rescue, jnp.int8(1), match_labels)
+
+        return matches, match_labels, matched_vals
 
     def _set_low_quality_matches(self, match_labels, match_quality_matrix, gt_valid):
         """For each GT, predictions tied at its max quality become positive.

@@ -237,6 +237,44 @@ class TestMatcher:
         _, labels = matcher(quality)
         np.testing.assert_array_equal(np.asarray(labels), [1, 0])
 
+    def test_streamed_matches_dense(self):
+        """match_streamed must equal the dense path bit-for-bit (incl. the
+        equality-based low-quality rescue) on random boxes, padded GT, empty
+        GT, and a chunk size that forces tail padding.
+
+        Boxes live on an integer grid so every IoU numerator/denominator is
+        an exactly-representable fp32 integer: XLA may fuse FMAs differently
+        for the (M, N) dense shape vs the (M, chunk) scan body, but exact
+        products/sums leave no last-ulp slack for that to show (guaranteeing
+        plenty of true ties for the rescue path, too)."""
+        from fsgd_tpu.structures import pairwise_iou
+
+        rng = np.random.RandomState(7)
+        n, m = 203, 6  # 203 deliberately not a multiple of chunk=64
+
+        def rand_boxes(k):
+            ctr = rng.randint(0, 80, size=(k, 2)).astype(np.float32)
+            wh = rng.randint(1, 40, size=(k, 2)).astype(np.float32)
+            return np.concatenate([ctr - wh, ctr + wh], axis=1)
+
+        anchors = jnp.asarray(rand_boxes(n))
+        for valid_count in [m, 3, 0]:
+            gt = jnp.asarray(rand_boxes(m))
+            gt_valid = jnp.arange(m) < valid_count
+            for low_quality in [True, False]:
+                matcher = Matcher([0.3, 0.7], [0, -1, 1], allow_low_quality_matches=low_quality)
+                dense_q = pairwise_iou(gt, anchors)
+                d_matches, d_labels = matcher(dense_q, gt_valid)
+                s_matches, s_labels, s_vals = matcher.match_streamed(
+                    gt, gt_valid, anchors, pairwise_iou, chunk=64
+                )
+                np.testing.assert_array_equal(np.asarray(d_matches), np.asarray(s_matches))
+                np.testing.assert_array_equal(np.asarray(d_labels), np.asarray(s_labels))
+                masked = jnp.where(gt_valid[:, None], dense_q, -1.0)
+                np.testing.assert_array_equal(
+                    np.asarray(jnp.max(masked, axis=0)), np.asarray(s_vals)
+                )
+
 
 class TestBox2BoxTransform:
     def test_reconstruction(self):
