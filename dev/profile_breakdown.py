@@ -149,8 +149,16 @@ def main():
     rows.append({"stage": "infer", "step_s": round(dt, 4), "imgs_per_s": round(args.batch / dt, 2)})
     print(rows[-1], file=sys.stderr)
 
+    doc = {"model": name, "hw": [h, w], "batch": args.batch, "stages": rows}
+    try:  # keep the hand-written roofline analysis across re-profiles
+        with open("PROFILE_BREAKDOWN.json") as f:
+            prev = json.load(f)
+        if "roofline" in prev:
+            doc["roofline"] = prev["roofline"]
+    except (OSError, ValueError):
+        pass
     with open("PROFILE_BREAKDOWN.json", "w") as f:
-        json.dump({"model": name, "hw": [h, w], "batch": args.batch, "stages": rows}, f, indent=1)
+        json.dump(doc, f, indent=1)
     print(json.dumps(rows))
 
 

@@ -293,80 +293,104 @@ roi_align_windows_pallas.defvjp(_fwd, _bwd)
 _SRC, _NACT, _CONF, _DST = 3, 4, 5, 6
 
 
-def _make_prefix_kernel(window: int, ph: int, c: int):
+def _make_prefix_kernel(window: int, ph: int, c: int, k: int):
+    """K rois per grid program: the per-roi work (one ~0.7 MB window DMA +
+    two skinny MXU contractions) is small enough that the fixed grid-step
+    cost dominates at 4096 programs/pass; unrolling K rois into one program
+    divides that overhead by K while keeping the exact per-roi
+    double-buffered DMA schedule (parity follows the GLOBAL roi index, so
+    the pipeline crosses group boundaries seamlessly).
+
+    Output is written COMPACTED (processing order) through the normal
+    pipeline BlockSpec — the caller un-permutes and merges the two passes
+    (a couple of full-bandwidth row gathers, far cheaper than the grid
+    steps saved)."""
     wx_cols = window + 8
 
-    def kernel(table_ref, packed_ref, wy_ref, wx_ref, prev_ref, out_ref, win_scratch, sems):
-        del prev_ref  # aliased onto out_ref (input_output_aliases)
+    def kernel(table_ref, packed_ref, wy_ref, wx_ref, out_ref, win_scratch, rsems):
         i = pl.program_id(0)
         n_act = table_ref[_NACT, 0]
 
-        def dma_for(slot, idx):
+        def read_dma(slot, idx):
             b = table_ref[0, idx]
             r0 = table_ref[1, idx]
             c0 = pl.multiple_of(table_ref[2, idx], 8)
             return pltpu.make_async_copy(
                 packed_ref.at[b, pl.ds(r0, window), pl.ds(c0, wx_cols), :],
                 win_scratch.at[slot],
-                sems.at[slot],
+                rsems.at[slot],
             )
 
-        @pl.when(i < n_act)
-        def _():
-            @pl.when(i == 0)
-            def _():
-                dma_for(0, 0).start()
+        for j in range(k):
+            idx = i * k + j
 
-            @pl.when(i + 1 < n_act)
-            def _():
-                dma_for((i + 1) % 2, i + 1).start()
+            @pl.when(idx < n_act)
+            def _(idx=idx, j=j):
+                slot = idx % 2
 
-            dma_for(i % 2, i).wait()
-            win = win_scratch[i % 2].astype(jnp.float32).reshape(window, wx_cols * c)
-            wy = wy_ref[0]  # (ph, window)
-            t = jax.lax.dot_general(
-                wy, win, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            ).reshape(ph, wx_cols, c)
-            wx = wx_ref[0]  # (ph, wx_cols)
-            for p in range(ph):
-                out_ref[0, p] = jax.lax.dot_general(
-                    wx, t[p], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-                )
+                @pl.when(idx == 0)
+                def _():
+                    read_dma(0, 0).start()
+
+                @pl.when(idx + 1 < n_act)
+                def _():
+                    read_dma((idx + 1) % 2, idx + 1).start()
+
+                read_dma(slot, idx).wait()
+                win = win_scratch[slot].astype(jnp.float32).reshape(window, wx_cols * c)
+                wy = wy_ref[0, j]  # (ph, window)
+                t = jax.lax.dot_general(
+                    wy, win, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ).reshape(ph, wx_cols, c)
+                wx = wx_ref[0, j]  # (ph, wx_cols)
+                for p in range(ph):
+                    out_ref[0, j, p] = jax.lax.dot_general(
+                        wx, t[p], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                    )
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("window", "ph", "interpret"))
-def _forward_prefix(packed, table, wy, wx, prev, window: int, ph: int, interpret: bool = False):
-    """One bucketed pass: fills its rois' slots of ``prev`` ((N+1, PH, PH, C),
-    aliased in place; slot N is the tail dump)."""
+@partial(jax.jit, static_argnames=("window", "ph", "k", "interpret"))
+def _forward_prefix(packed, table, wy, wx, window: int, ph: int, k: int = 8, interpret: bool = False):
+    """One bucketed pass.  Returns (N, PH, PH, C) f32 in PROCESSING order
+    (this pass's rois compacted to the prefix; tail entries undefined)."""
     n = table.shape[0]
+    assert n % k == 0, (n, k)
     c = packed.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n,),
+        grid=(n // k,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # packed stays in HBM
-            pl.BlockSpec((1, ph, window), lambda i, t: (t[_SRC, i], 0, 0)),
-            pl.BlockSpec((1, ph, window + 8), lambda i, t: (t[_SRC, i], 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # prev/out buffer in HBM
+            pl.BlockSpec((1, k, ph, window), lambda i, t: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k, ph, window + 8), lambda i, t: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, ph, ph, c), lambda i, t: (t[_DST, i], 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, k, ph, ph, c), lambda i, t: (i, 0, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, window, window + 8, c), packed.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
-        _make_prefix_kernel(window, ph, c),
-        out_shape=jax.ShapeDtypeStruct(prev.shape, prev.dtype),
+    # wy/wx arrive in ORIGINAL roi order; permute into processing order via
+    # the table's src column (a few-MB gather) and block K per program
+    src = table[:, _SRC]
+    wy_b = wy[src].reshape(n // k, k, ph, window)
+    wx_b = wx[src].reshape(n // k, k, ph, window + 8)
+    out = pl.pallas_call(
+        _make_prefix_kernel(window, ph, c, k),
+        out_shape=jax.ShapeDtypeStruct((n // k, k, ph, ph, c), jnp.float32),
         grid_spec=grid_spec,
-        input_output_aliases={4: 0},  # prev -> out (indices incl. prefetch arg)
         interpret=interpret,
-    )(table.T, packed, wy, wx, prev)
+    )(table.T, packed, wy_b, wx_b)
+    return out.reshape(n, ph, ph, c)
 
 
-def _make_prefix_bwd_kernel(window: int, ph: int, c: int):
+def _make_prefix_bwd_kernel(window: int, ph: int, c: int, k: int):
+    """K rois per grid program (see _make_prefix_kernel) with the single-roi
+    RMW hazard schedule kept verbatim — parity and conflict bookkeeping
+    follow the GLOBAL roi index, so unrolling changes only the grid-step
+    count, not the DMA order."""
     wx_cols = window + 8
 
     def kernel(table_ref, g_ref, wy_ref, wx_ref, acc_in_ref, acc_ref, win_scratch, rsems, wsems):
@@ -386,67 +410,72 @@ def _make_prefix_bwd_kernel(window: int, ph: int, c: int):
         def write_dma(slot, idx):
             return pltpu.make_async_copy(win_scratch.at[slot], window_ref(idx), wsems.at[slot])
 
-        slot = i % 2
+        for j in range(k):
+            idx = i * k + j
 
-        @pl.when(i < n_act)
-        def _():
-            @pl.when(i == 0)
-            def _():
-                read_dma(0, 0).start()
+            @pl.when(idx < n_act)
+            def _(idx=idx, j=j):
+                slot = idx % 2
 
-            read_dma(slot, i).wait()
-
-            g2 = g_ref[0].reshape(ph, ph * c)
-            a = jax.lax.dot_general(
-                wy_ref[0], g2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            ).reshape(window, ph, c)
-            wx = wx_ref[0]  # (ph, wx_cols)
-            dwin = a[:, 0, :][:, None, :] * wx[0][None, :, None]
-            for q in range(1, ph):
-                dwin += a[:, q, :][:, None, :] * wx[q][None, :, None]
-            win_scratch[slot] = win_scratch[slot] + dwin.astype(win_scratch.dtype)
-
-            write_dma(slot, i).start()
-
-            # Outstanding-write bookkeeping (each write sem waited once):
-            #   write(i-1) is waited by program i-1 itself iff conflict[i]
-            #   (hazard: read(i) would race it); otherwise program i waits it
-            #   before read(i+1) reuses that scratch slot.
-            @pl.when(i + 1 < n_act)
-            def _():
-                @pl.when((i >= 1) & (table_ref[_CONF, i] == 0))
+                @pl.when(idx == 0)
                 def _():
-                    write_dma(1 - slot, i - 1).wait()
+                    read_dma(0, 0).start()
 
-                @pl.when(table_ref[_CONF, i + 1] != 0)
+                read_dma(slot, idx).wait()
+
+                g2 = g_ref[0, j].reshape(ph, ph * c)
+                a = jax.lax.dot_general(
+                    wy_ref[0, j], g2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ).reshape(window, ph, c)
+                wx = wx_ref[0, j]  # (ph, wx_cols)
+                dwin = a[:, 0, :][:, None, :] * wx[0][None, :, None]
+                for q in range(1, ph):
+                    dwin += a[:, q, :][:, None, :] * wx[q][None, :, None]
+                win_scratch[slot] = win_scratch[slot] + dwin.astype(win_scratch.dtype)
+
+                write_dma(slot, idx).start()
+
+                # Outstanding-write bookkeeping (each write sem waited once):
+                #   write(idx-1) is waited at roi idx-1 itself iff
+                #   conflict[idx] (hazard: read(idx) would race it);
+                #   otherwise roi idx waits it before read(idx+1) reuses
+                #   that scratch slot.
+                @pl.when(idx + 1 < n_act)
                 def _():
-                    write_dma(slot, i).wait()
+                    @pl.when((idx >= 1) & (table_ref[_CONF, idx] == 0))
+                    def _():
+                        write_dma(1 - slot, idx - 1).wait()
 
-                read_dma((i + 1) % 2, i + 1).start()
+                    @pl.when(table_ref[_CONF, idx + 1] != 0)
+                    def _():
+                        write_dma(slot, idx).wait()
 
-            @pl.when(i + 1 >= n_act)
-            def _():
-                @pl.when((i >= 1) & (table_ref[_CONF, i] == 0))
+                    read_dma((idx + 1) % 2, idx + 1).start()
+
+                @pl.when(idx + 1 >= n_act)
                 def _():
-                    write_dma(1 - slot, i - 1).wait()
+                    @pl.when((idx >= 1) & (table_ref[_CONF, idx] == 0))
+                    def _():
+                        write_dma(1 - slot, idx - 1).wait()
 
-                write_dma(slot, i).wait()
+                    write_dma(slot, idx).wait()
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("window", "ph", "interpret"))
-def _backward_prefix(g, table, wy, wx, acc, window: int, ph: int, interpret: bool = False):
+@partial(jax.jit, static_argnames=("window", "ph", "k", "interpret"))
+def _backward_prefix(g, table, wy, wx, acc, window: int, ph: int, k: int = 8, interpret: bool = False):
     """One bucketed RMW pass accumulating dWin into ``acc`` (aliased)."""
     n = table.shape[0]
+    assert n % k == 0, (n, k)
     c = acc.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n,),
+        grid=(n // k,),
         in_specs=[
-            pl.BlockSpec((1, ph, ph, c), lambda i, t: (t[_SRC, i], 0, 0, 0)),
-            pl.BlockSpec((1, ph, window), lambda i, t: (t[_SRC, i], 0, 0)),
-            pl.BlockSpec((1, ph, window + 8), lambda i, t: (t[_SRC, i], 0, 0)),
+            pl.BlockSpec((1, k, ph, ph, c), lambda i, t: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, k, ph, window), lambda i, t: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k, ph, window + 8), lambda i, t: (i, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),  # accumulator stays in HBM
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -456,13 +485,20 @@ def _backward_prefix(g, table, wy, wx, acc, window: int, ph: int, interpret: boo
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # g/wy/wx arrive in ORIGINAL roi order; permute into processing order and
+    # block K per program (the g permute is a ~200 MB row gather, ~0.5 ms —
+    # the grid-step savings dwarf it)
+    src = table[:, _SRC]
+    g_b = g[src].reshape(n // k, k, ph, ph, c)
+    wy_b = wy[src].reshape(n // k, k, ph, window)
+    wx_b = wx[src].reshape(n // k, k, ph, window + 8)
     return pl.pallas_call(
-        _make_prefix_bwd_kernel(window, ph, c),
+        _make_prefix_bwd_kernel(window, ph, c, k),
         out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
         grid_spec=grid_spec,
         input_output_aliases={4: 0},
         interpret=interpret,
-    )(table.T, g, wy, wx, acc)
+    )(table.T, g_b, wy_b, wx_b, acc)
 
 
 def _bucket_tables(starts, order, n_act, n, window):
@@ -512,17 +548,29 @@ def _bucketed_passes(small_mask):
     return order_s, order_l, n_small, n - n_small
 
 
+def _k_per_program(n: int) -> int:
+    """Largest unroll factor in {8, 4, 2, 1} dividing the roi count."""
+    for k in (8, 4, 2):
+        if n % k == 0:
+            return k
+    return 1
+
+
 def _bucketed_fwd(packed, starts_s, wy_s, wx_s, starts_l, wy_l, wx_l, small_mask,
                   window_s, window_l, ph, interpret):
     n = starts_s.shape[0]
-    c = packed.shape[-1]
+    k = _k_per_program(n)
     order_s, order_l, n_small, n_large = _bucketed_passes(small_mask)
     table_s = _bucket_tables(starts_s, order_s, n_small, n, window_s)
     table_l = _bucket_tables(starts_l, order_l, n_large, n, window_l)
-    buf = jnp.empty((n + 1, ph, ph, c), jnp.float32)
-    buf = _forward_prefix(packed, table_s, wy_s, wx_s, buf, window_s, ph, interpret)
-    buf = _forward_prefix(packed, table_l, wy_l, wx_l, buf, window_l, ph, interpret)
-    out = buf[:n]
+    out_s = _forward_prefix(packed, table_s, wy_s, wx_s, window_s, ph, k=k, interpret=interpret)
+    out_l = _forward_prefix(packed, table_l, wy_l, wx_l, window_l, ph, k=k, interpret=interpret)
+    # un-permute each pass from processing order back to roi order and merge
+    # (inactive tail entries carry garbage but are never selected)
+    arange = jnp.arange(n, dtype=jnp.int32)
+    inv_s = jnp.zeros((n,), jnp.int32).at[order_s].set(arange)
+    inv_l = jnp.zeros((n,), jnp.int32).at[order_l].set(arange)
+    out = jnp.where(small_mask[:, None, None, None], out_s[inv_s], out_l[inv_l])
     res = (packed, table_s, wy_s, wx_s, table_l, wy_l, wx_l)
     return out, res
 
@@ -530,11 +578,12 @@ def _bucketed_fwd(packed, starts_s, wy_s, wx_s, starts_l, wy_l, wx_l, small_mask
 def _bucketed_bwd(window_s, window_l, ph, interpret, res, g):
     packed, table_s, wy_s, wx_s, table_l, wy_l, wx_l = res
     g = g.astype(jnp.float32)
+    k = _k_per_program(table_s.shape[0])
     acc = jnp.zeros(packed.shape, packed.dtype)
     # each pass reads only its own rois' gradient blocks (src indirection),
     # so g needs no masking; the two RMW passes chain on one aliased frame
-    acc = _backward_prefix(g, table_s, wy_s, wx_s, acc, window_s, ph, interpret)
-    acc = _backward_prefix(g, table_l, wy_l, wx_l, acc, window_l, ph, interpret)
+    acc = _backward_prefix(g, table_s, wy_s, wx_s, acc, window_s, ph, k=k, interpret=interpret)
+    acc = _backward_prefix(g, table_l, wy_l, wx_l, acc, window_l, ph, k=k, interpret=interpret)
     return acc, None, None, None, None, None, None, None
 
 
