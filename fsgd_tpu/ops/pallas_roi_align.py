@@ -128,7 +128,7 @@ def _fwd(packed, starts, wy, wx, window, ph, interpret):
 def _make_bwd_kernel(window: int, ph: int, c: int):
     wx_cols = window + 8
 
-    def kernel(starts_ref, g_ref, wy_ref, wx_ref, acc_in_ref, acc_ref, win_scratch, rsems, wsems):
+    def kernel(starts_ref, g_ref, wy_ref, wxt_ref, acc_in_ref, acc_ref, win_scratch, s_scratch, rsems, wsems):
         # acc_in_ref is the zero-initialized operand aliased onto acc_ref
         # (input_output_aliases) — all access goes through acc_ref
         del acc_in_ref
@@ -163,37 +163,50 @@ def _make_bwd_kernel(window: int, ph: int, c: int):
         def _():
             read_dma(0, 0).start()
 
-        read_dma(slot, i).wait()
-
-        # dwin = Wy^T g Wx added into the read window (f32 compute, stored in
-        # the accumulator dtype — dPacked is cast to the feature dtype at the
-        # end regardless, so a bf16 accumulator halves the RMW traffic)
-        g2 = g_ref[0].reshape(ph, ph * c)
-        a = jax.lax.dot_general(
-            wy_ref[0], g2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).reshape(window, ph, c)
-        wx = wx_ref[0]  # (ph, wx_cols)
-        dwin = a[:, 0, :][:, None, :] * wx[0][None, :, None]
-        for q in range(1, ph):
-            dwin += a[:, q, :][:, None, :] * wx[q][None, :, None]
-        win_scratch[slot] = win_scratch[slot] + dwin.astype(win_scratch.dtype)
-
-        write_dma(slot, i).start()
-
-        # Outstanding-write bookkeeping (each write sem waited exactly once):
-        #   write(i-1) is waited by program i-1 itself iff conflict[i]
-        #   (hazard: read(i) would race it); otherwise program i waits it
-        #   before read(i+1) reuses that scratch slot.
+        # Retire write(i-1) if still outstanding, then start read(i+1) EARLY
+        # (before this roi's compute) on the no-conflict path so the read
+        # overlaps compute(i)+write(i) — with the read issued after compute,
+        # every roi paid read-latency + compute serially and the pass ran at
+        # ~25% of HBM bandwidth.
         @pl.when(i + 1 < n)
         def _():
             @pl.when((i >= 1) & (starts_ref[3, i] == 0))
             def _():
                 write_dma(1 - slot, i - 1).wait()
 
-            @pl.when(starts_ref[3, i + 1] != 0)
+            @pl.when(starts_ref[3, i + 1] == 0)
             def _():
-                write_dma(slot, i).wait()
+                read_dma((i + 1) % 2, i + 1).start()
 
+        read_dma(slot, i).wait()
+
+        # dwin = Wy^T g Wx added into the read window (f32 compute, stored in
+        # the accumulator dtype — dPacked is cast to the feature dtype at the
+        # end regardless, so a bf16 accumulator halves the RMW traffic).
+        # Both contractions run on the MXU, mirroring the fwd kernel: the
+        # VPU outer-product form (sum_q a[:,q,:]*wx[q]) was ~7x327k
+        # multiply-adds per roi and made the whole pass VPU-compute-bound.
+        g3 = g_ref[0]  # (ph, ph, c)
+        wxt = wxt_ref[0]  # (wx_cols, ph)
+        for p in range(ph):
+            s_scratch[p] = jax.lax.dot_general(
+                wxt, g3[p], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (wx_cols, c) = sum_q wx[q,v] g[p,q,c]
+        s2 = s_scratch[...].reshape(ph, wx_cols * c)
+        dwin = jax.lax.dot_general(
+            wy_ref[0], s2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).reshape(window, wx_cols, c)  # sum_p wy[p,w] s[p,v,c]
+        win_scratch[slot] = win_scratch[slot] + dwin.astype(win_scratch.dtype)
+
+        write_dma(slot, i).start()
+
+        # Conflict path: read(i+1) overlaps write(i)'s window, so it could
+        # not be issued early — serialize write(i) then read.  (write(i-1)
+        # was already retired above.)  Each write sem is waited exactly once:
+        # write(i) at roi i itself iff conflict[i+1], else at roi i+1.
+        @pl.when((i + 1 < n) & (starts_ref[3, i + 1] != 0))
+        def _():
+            write_dma(slot, i).wait()
             read_dma((i + 1) % 2, i + 1).start()
 
         @pl.when(i + 1 >= n)
@@ -207,16 +220,16 @@ def _make_bwd_kernel(window: int, ph: int, c: int):
     return kernel
 
 
-def _conflict_flags(starts, window):
-    """flag[i] = roi i's window intersects roi i-1's (same batch, overlapping
-    rows and columns in the packed frame)."""
+def _conflict_flags(starts, window, dist=1):
+    """flag[i] = roi i's window intersects roi i-dist's (same batch,
+    overlapping rows and columns in the packed frame)."""
     b, r0, c0 = starts[:, 0], starts[:, 1], starts[:, 2]
-    prev = jnp.roll(starts, 1, axis=0)
+    prev = jnp.roll(starts, dist, axis=0)
     same_b = b == prev[:, 0]
     rows = jnp.abs(r0 - prev[:, 1]) < window
     cols = jnp.abs((c0 // 8) * 8 - (prev[:, 2] // 8) * 8) < window + 8
     flags = (same_b & rows & cols).astype(jnp.int32)
-    return flags.at[0].set(0)
+    return flags.at[:dist].set(0)
 
 
 @partial(jax.jit, static_argnames=("packed_shape_dtype", "window", "ph", "interpret"))
@@ -232,12 +245,13 @@ def _backward(g, starts, wy, wx, packed_shape_dtype, window: int, ph: int, inter
         in_specs=[
             pl.BlockSpec((1, ph, ph, c), lambda i, t: (i, 0, 0, 0)),
             pl.BlockSpec((1, ph, window), lambda i, t: (i, 0, 0)),
-            pl.BlockSpec((1, ph, window + 8), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, window + 8, ph), lambda i, t: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),  # accumulator stays in HBM
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, window, window + 8, c), acc_dtype),
+            pltpu.VMEM((ph, window + 8, c), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -248,7 +262,7 @@ def _backward(g, starts, wy, wx, packed_shape_dtype, window: int, ph: int, inter
         grid_spec=grid_spec,
         input_output_aliases={4: 0},  # accumulate in place (idx incl. prefetch arg)
         interpret=interpret,
-    )(table.T, g, wy, wx, acc0)
+    )(table.T, g, wy, jnp.swapaxes(wx, 1, 2), acc0)
     return acc
 
 
@@ -285,12 +299,13 @@ roi_align_windows_pallas.defvjp(_fwd, _bwd)
 # fills the large rois' slots in pass 1's output buffer (aliased in place);
 # tail programs park their pipeline flush on a dump slot (row DST, index N).
 #
-# Table layout (int32, transposed to (7, N) for SMEM):
+# Table layout (int32, transposed to (8, N) for SMEM):
 #   0:b  1:row0  2:col0  3:src block idx (tail->0)  4:n_active (broadcast)
 #   5:conflict-with-previous  6:dst block idx (tail->N dump slot)
+#   7:conflict-with-previous-but-one (bwd 3-slot pipeline hazard)
 # ---------------------------------------------------------------------------
 
-_SRC, _NACT, _CONF, _DST = 3, 4, 5, 6
+_SRC, _NACT, _CONF, _DST, _CONF2 = 3, 4, 5, 6, 7
 
 
 def _make_prefix_kernel(window: int, ph: int, c: int, k: int):
@@ -387,13 +402,29 @@ def _forward_prefix(packed, table, wy, wx, window: int, ph: int, k: int = 8, int
 
 
 def _make_prefix_bwd_kernel(window: int, ph: int, c: int, k: int):
-    """K rois per grid program (see _make_prefix_kernel) with the single-roi
-    RMW hazard schedule kept verbatim — parity and conflict bookkeeping
-    follow the GLOBAL roi index, so unrolling changes only the grid-step
-    count, not the DMA order."""
+    """K rois per grid program (see _make_prefix_kernel), RMW accumulation
+    with a 3-slot pipeline.
+
+    With 2 slots, read(i+2) reuses write(i)'s slot, forcing program i+1 to
+    retire write(i) before its read-start — write completion lands on the
+    critical path and the pass runs at ~25% of HBM bandwidth.  With 3 slots
+    a write gets two programs of slack and fully overlaps.
+
+    Hazard bookkeeping (all indices follow the GLOBAL roi index, so K-
+    unrolling changes only the grid-step count, not the DMA order).
+    write(j) is waited at EXACTLY one site:
+      A (program j):   iff conf1[j+1]      — read(j+1) overlaps window j;
+                       the read is then issued after the wait.
+      B (program j+1): iff !conf1[j+1] & conf2[j+2] — read(j+2) overlaps
+                       window j; waited just before that read is issued.
+      C (program j+2): iff !conf1[j+1] & !conf2[j+2] — slot reuse only;
+                       waited before read(j+3) recycles the slot.
+    (Tail programs collapse the pending sites.)  Before any read(i+1) is
+    issued, write(i-2) is always retired (site C or earlier) and
+    write(i-1) either retired or — when conf2[i+1]==0 — provably disjoint."""
     wx_cols = window + 8
 
-    def kernel(table_ref, g_ref, wy_ref, wx_ref, acc_in_ref, acc_ref, win_scratch, rsems, wsems):
+    def kernel(table_ref, g_ref, wy_ref, wxt_ref, acc_in_ref, acc_ref, win_scratch, s_scratch, rsems, wsems):
         del acc_in_ref  # aliased onto acc_ref
         i = pl.program_id(0)
         n_act = table_ref[_NACT, 0]
@@ -415,48 +446,75 @@ def _make_prefix_bwd_kernel(window: int, ph: int, c: int, k: int):
 
             @pl.when(idx < n_act)
             def _(idx=idx, j=j):
-                slot = idx % 2
+                slot = idx % 3
+                n_total = pl.num_programs(0) * k
+                # clamped SMEM reads: the values only feed conditions that
+                # are and-ed with the range guards, so the clamp is inert
+                c1_next = table_ref[_CONF, jnp.minimum(idx + 1, n_total - 1)]
+                c1_prev = table_ref[_CONF, jnp.maximum(idx - 1, 0)]
 
                 @pl.when(idx == 0)
                 def _():
                     read_dma(0, 0).start()
 
+                @pl.when(idx + 1 < n_act)
+                def _():
+                    # site C: retire write(idx-2) before its slot is recycled
+                    @pl.when(
+                        (idx >= 2) & (c1_prev == 0) & (table_ref[_CONF2, idx] == 0)
+                    )
+                    def _():
+                        write_dma((idx - 2) % 3, idx - 2).wait()
+
+                    # site B: read(idx+1) overlaps window(idx-1)
+                    @pl.when(
+                        (idx >= 1)
+                        & (table_ref[_CONF, idx] == 0)
+                        & (table_ref[_CONF2, jnp.minimum(idx + 1, n_total - 1)] != 0)
+                    )
+                    def _():
+                        write_dma((idx - 1) % 3, idx - 1).wait()
+
+                    # early read: overlaps this roi's compute + write
+                    @pl.when(c1_next == 0)
+                    def _():
+                        read_dma((idx + 1) % 3, idx + 1).start()
+
                 read_dma(slot, idx).wait()
 
-                g2 = g_ref[0, j].reshape(ph, ph * c)
-                a = jax.lax.dot_general(
-                    wy_ref[0, j], g2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-                ).reshape(window, ph, c)
-                wx = wx_ref[0, j]  # (ph, wx_cols)
-                dwin = a[:, 0, :][:, None, :] * wx[0][None, :, None]
-                for q in range(1, ph):
-                    dwin += a[:, q, :][:, None, :] * wx[q][None, :, None]
+                # both contractions on the MXU (see _make_bwd_kernel note)
+                g3 = g_ref[0, j]  # (ph, ph, c)
+                wxt = wxt_ref[0, j]  # (wx_cols, ph)
+                for p in range(ph):
+                    s_scratch[p] = jax.lax.dot_general(
+                        wxt, g3[p], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                    )
+                s2 = s_scratch[...].reshape(ph, wx_cols * c)
+                dwin = jax.lax.dot_general(
+                    wy_ref[0, j], s2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ).reshape(window, wx_cols, c)
                 win_scratch[slot] = win_scratch[slot] + dwin.astype(win_scratch.dtype)
 
                 write_dma(slot, idx).start()
 
-                # Outstanding-write bookkeeping (each write sem waited once):
-                #   write(idx-1) is waited at roi idx-1 itself iff
-                #   conflict[idx] (hazard: read(idx) would race it);
-                #   otherwise roi idx waits it before read(idx+1) reuses
-                #   that scratch slot.
-                @pl.when(idx + 1 < n_act)
+                # site A: read(idx+1) overlaps write(idx)'s window — serialize
+                @pl.when((idx + 1 < n_act) & (c1_next != 0))
                 def _():
-                    @pl.when((idx >= 1) & (table_ref[_CONF, idx] == 0))
-                    def _():
-                        write_dma(1 - slot, idx - 1).wait()
+                    write_dma(slot, idx).wait()
+                    read_dma((idx + 1) % 3, idx + 1).start()
 
-                    @pl.when(table_ref[_CONF, idx + 1] != 0)
-                    def _():
-                        write_dma(slot, idx).wait()
-
-                    read_dma((idx + 1) % 2, idx + 1).start()
-
+                # tail: retire every write still outstanding
                 @pl.when(idx + 1 >= n_act)
                 def _():
+                    @pl.when(
+                        (idx >= 2) & (c1_prev == 0) & (table_ref[_CONF2, idx] == 0)
+                    )
+                    def _():
+                        write_dma((idx - 2) % 3, idx - 2).wait()
+
                     @pl.when((idx >= 1) & (table_ref[_CONF, idx] == 0))
                     def _():
-                        write_dma(1 - slot, idx - 1).wait()
+                        write_dma((idx - 1) % 3, idx - 1).wait()
 
                     write_dma(slot, idx).wait()
 
@@ -475,23 +533,24 @@ def _backward_prefix(g, table, wy, wx, acc, window: int, ph: int, k: int = 8, in
         in_specs=[
             pl.BlockSpec((1, k, ph, ph, c), lambda i, t: (i, 0, 0, 0, 0)),
             pl.BlockSpec((1, k, ph, window), lambda i, t: (i, 0, 0, 0)),
-            pl.BlockSpec((1, k, ph, window + 8), lambda i, t: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k, window + 8, ph), lambda i, t: (i, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),  # accumulator stays in HBM
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, window, window + 8, c), acc.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, window, window + 8, c), acc.dtype),
+            pltpu.VMEM((ph, window + 8, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     # g/wy/wx arrive in ORIGINAL roi order; permute into processing order and
     # block K per program (the g permute is a ~200 MB row gather, ~0.5 ms —
-    # the grid-step savings dwarf it)
+    # the grid-step savings dwarf it); wx rides transposed for the MXU form
     src = table[:, _SRC]
     g_b = g[src].reshape(n // k, k, ph, ph, c)
     wy_b = wy[src].reshape(n // k, k, ph, window)
-    wx_b = wx[src].reshape(n // k, k, ph, window + 8)
+    wx_b = jnp.swapaxes(wx[src], 1, 2).reshape(n // k, k, window + 8, ph)
     return pl.pallas_call(
         _make_prefix_bwd_kernel(window, ph, c, k),
         out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
@@ -513,9 +572,11 @@ def _bucket_tables(starts, order, n_act, n, window):
     src = jnp.where(active, order, 0).astype(jnp.int32)
     dst = jnp.where(active, order, n).astype(jnp.int32)
     conflict = _conflict_flags(perm_starts, window)
+    conflict2 = _conflict_flags(perm_starts, window, dist=2)
     nact_col = jnp.full((n,), n_act, jnp.int32)
     return jnp.concatenate(
-        [perm_starts, src[:, None], nact_col[:, None], conflict[:, None], dst[:, None]],
+        [perm_starts, src[:, None], nact_col[:, None], conflict[:, None], dst[:, None],
+         conflict2[:, None]],
         axis=1,
     )
 
