@@ -361,15 +361,17 @@ def _make_prefix_kernel(window: int, ph: int, c: int, k: int):
                 for p in range(ph):
                     out_ref[0, j, p] = jax.lax.dot_general(
                         wx, t[p], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-                    )
+                    ).astype(out_ref.dtype)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("window", "ph", "k", "interpret"))
 def _forward_prefix(packed, table, wy, wx, window: int, ph: int, k: int = 8, interpret: bool = False):
-    """One bucketed pass.  Returns (N, PH, PH, C) f32 in PROCESSING order
-    (this pass's rois compacted to the prefix; tail entries undefined)."""
+    """One bucketed pass.  Returns (N, PH, PH, C) in PROCESSING order (this
+    pass's rois compacted to the prefix; tail entries undefined).  Output
+    rides in the feature dtype: downstream heads run in bf16 anyway, and a
+    bf16 output halves the un-permute/merge traffic."""
     n = table.shape[0]
     assert n % k == 0, (n, k)
     c = packed.shape[-1]
@@ -394,7 +396,7 @@ def _forward_prefix(packed, table, wy, wx, window: int, ph: int, k: int = 8, int
     wx_b = wx[src].reshape(n // k, k, ph, window + 8)
     out = pl.pallas_call(
         _make_prefix_kernel(window, ph, c, k),
-        out_shape=jax.ShapeDtypeStruct((n // k, k, ph, ph, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n // k, k, ph, ph, c), packed.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(table.T, packed, wy_b, wx_b)
@@ -483,7 +485,7 @@ def _make_prefix_bwd_kernel(window: int, ph: int, c: int, k: int):
                 read_dma(slot, idx).wait()
 
                 # both contractions on the MXU (see _make_bwd_kernel note)
-                g3 = g_ref[0, j]  # (ph, ph, c)
+                g3 = g_ref[0, j].astype(jnp.float32)  # (ph, ph, c)
                 wxt = wxt_ref[0, j]  # (wx_cols, ph)
                 for p in range(ph):
                     s_scratch[p] = jax.lax.dot_general(
@@ -638,7 +640,8 @@ def _bucketed_fwd(packed, starts_s, wy_s, wx_s, starts_l, wy_l, wx_l, small_mask
 
 def _bucketed_bwd(window_s, window_l, ph, interpret, res, g):
     packed, table_s, wy_s, wx_s, table_l, wy_l, wx_l = res
-    g = g.astype(jnp.float32)
+    # g stays in the cotangent dtype (bf16 in production) — the kernel
+    # casts per-block; halves the permute-gather + block-pipeline traffic
     k = _k_per_program(table_s.shape[0])
     acc = jnp.zeros(packed.shape, packed.dtype)
     # each pass reads only its own rois' gradient blocks (src indirection),
