@@ -412,11 +412,14 @@ class RetinaNet(DetectorBase):
                 "valid": det_valid,
             }
 
-        # decode in sub-batches: the per-level (HWA*K) candidate buffers and
-        # top-k workspace peak ~GBs fully vmapped at batch 8 (HBM overflow);
-        # lax.map over pairs bounds the transient at 2 images' worth
+        # decode in sub-batches: exact top_k's sort workspace over the
+        # per-level (HWA*K) candidate buffers peaks ~GBs fully vmapped at
+        # batch 8 (HBM overflow); lax.map over pairs bounds the transient at
+        # 2 images' worth.  approx_max_k's workspace is linear, so the
+        # approx path vmaps the whole batch — the lax.map while-loop
+        # serialized 4 chunks and copied each chunk's logits (~25 ms/batch).
         b = batch["image"].shape[0]
-        chunk = 2 if b % 2 == 0 else 1
+        chunk = b if self.approx_topk else (2 if b % 2 == 0 else 1)
         if b > chunk:
             stacked = (
                 [x.reshape(b // chunk, chunk, *x.shape[1:]) for x in cls_per_level],
