@@ -12,6 +12,11 @@ Gates (CONVERGENCE.json rows, merged by model name — never overwritten):
   retinanet      bbox AP50        >= 0.90
   mask_rcnn      segm AP50        >= 0.80   (pasted masks -> RLE -> COCOeval)
   keypoint_rcnn  keypoints AP50   >= 0.70   (17-point OKS through COCOeval)
+  panoptic_fpn   PQ               >= 0.60   (combine heuristic -> panopticapi
+                 matching protocol; reference quick_schedules
+                 panoptic_fpn_R_50_training_acc_test.yaml analogue)
+  tensormask     segm AP50        >= 0.70   (anchor-frame masks pasted via
+                 mask_boxes; reference projects/TensorMask configs)
   gambler_gan    rare-class AP50  >= plain-RetinaNet baseline (the fork's
                  thesis: betting-map reweighting helps the rare class;
                  reference ImbalanceDetection/train_net.py GANTrainer loop)
@@ -107,7 +112,7 @@ def _box_keypoints(box):
 
 
 def make_batch(images, gts, idxs, *, img_size=IMG_SIZE, max_gt=MAX_GT,
-               mask_stride=None, num_kpts=None):
+               mask_stride=None, num_kpts=None, sem_seg=False):
     b = len(idxs)
     batch = {
         "image": np.stack([images[i] for i in idxs]),
@@ -122,6 +127,9 @@ def make_batch(images, gts, idxs, *, img_size=IMG_SIZE, max_gt=MAX_GT,
         batch["gt_masks"] = np.zeros((b, max_gt, ms, ms), np.float32)
     if num_kpts:
         batch["gt_keypoints"] = np.zeros((b, max_gt, num_kpts, 3), np.float32)
+    if sem_seg:
+        # labels: 0 = things placeholder (rectangles), 1 = background stuff
+        batch["gt_sem_seg"] = np.ones((b, img_size, img_size), np.int32)
     for j, i in enumerate(idxs):
         boxes, classes = gts[i]
         n = len(classes)
@@ -134,6 +142,9 @@ def make_batch(images, gts, idxs, *, img_size=IMG_SIZE, max_gt=MAX_GT,
                 batch["gt_masks"][j, k, int(y1):int(y2) + 1, int(x1):int(x2) + 1] = 1.0
             if num_kpts:
                 batch["gt_keypoints"][j, k] = _box_keypoints(boxes[k])
+            if sem_seg:
+                x1, y1, x2, y2 = [int(v) for v in boxes[k]]
+                batch["gt_sem_seg"][j, y1:y2, x1:x2] = 0
     return batch
 
 
@@ -153,6 +164,36 @@ def build_cfg(model_name, num_classes=NUM_CLASSES, img_size=IMG_SIZE):
         cfg.merge_from_file("configs/COCO-Keypoints/keypoint_rcnn_R_50_FPN_1x.yaml")
         cfg.MODEL.ROI_HEADS.NUM_CLASSES = num_classes  # 1 for keypoints
         cfg.SOLVER.BASE_LR = 0.02
+    elif model_name == "panoptic_fpn":
+        cfg.merge_from_file("configs/COCO-PanopticSegmentation/panoptic_fpn_R_50_1x.yaml")
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = num_classes
+        # sem-seg labels: 0 = things placeholder, 1 = background stuff
+        cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 2
+        cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 64
+        cfg.SOLVER.BASE_LR = 0.02
+    elif model_name == "tensormask":
+        from fsgd_tpu.projects.tensormask import add_tensormask_config
+
+        add_tensormask_config(cfg)
+        cfg.MODEL.META_ARCHITECTURE = "TensorMask"
+        cfg.MODEL.MASK_ON = True
+        cfg.MODEL.BACKBONE.NAME = "build_retinanet_resnet_fpn_backbone"
+        cfg.MODEL.RESNETS.OUT_FEATURES = ["res3", "res4", "res5"]
+        cfg.MODEL.FPN.IN_FEATURES = ["res3", "res4", "res5"]
+        cfg.MODEL.TENSOR_MASK.IN_FEATURES = ["p3", "p4", "p5", "p6", "p7"]
+        cfg.MODEL.TENSOR_MASK.NUM_CLASSES = num_classes
+        cfg.MODEL.TENSOR_MASK.NUM_CONVS = 2
+        cfg.MODEL.TENSOR_MASK.CLS_CHANNELS = 64
+        cfg.MODEL.TENSOR_MASK.BBOX_CHANNELS = 64
+        cfg.MODEL.TENSOR_MASK.MASK_CHANNELS = 64
+        cfg.MODEL.TENSOR_MASK.TRAIN_MASKS_PER_LEVEL = [8, 8, 4, 4, 4]
+        cfg.MODEL.TENSOR_MASK.TEST_CANVAS_SIZE = 24
+        cfg.MODEL.TENSOR_MASK.TRAIN_CANVAS_MAX = 24
+        # dataset rectangles are 48-130 px: containment+scale rule lands them
+        # on p3 (window 72) through p4 (144)
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[72], [144], [288], [576], [1152]]
+        cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[1.0]]
+        cfg.SOLVER.BASE_LR = 0.01
     else:  # retinanet / gambler detector
         cfg.merge_from_file("configs/COCO-Detection/retinanet_R_50_FPN_1x.yaml")
         cfg.MODEL.RETINANET.NUM_CLASSES = num_classes
@@ -254,11 +295,14 @@ def eval_coco(model, params, images, gts, *, iou_type="bbox", img_size=IMG_SIZE,
         valid = np.asarray(dets["valid"])
         masks = np.asarray(dets["masks"]) if "masks" in dets else None
         kpts = np.asarray(dets["keypoints"]) if "keypoints" in dets else None
+        # TensorMask masks live on the anchor-window frame, not pred_boxes
+        mask_frames = np.asarray(dets["mask_boxes"]) if "mask_boxes" in dets else None
         for j, i in enumerate(idxs):
             vj = np.where(valid[j])[0]
             if iou_type == "segm" and len(vj):
+                frame = mask_frames[j, vj] if mask_frames is not None else boxes[j, vj]
                 pasted = paste_masks_in_image(
-                    masks[j, vj], boxes[j, vj], (img_size, img_size)
+                    masks[j, vj], frame, (img_size, img_size)
                 )
             for rank, d in enumerate(vj):
                 r = {
@@ -286,11 +330,111 @@ def eval_coco(model, params, images, gts, *, iou_type="bbox", img_size=IMG_SIZE,
     return float(ev.stats[1]), _ap50_per_class(ev, num_classes)
 
 
+def _segments_from_pan(pan, segs):
+    """{(isthing, category_id, id): bool mask} for PQ matching."""
+    return {
+        (bool(s["isthing"]), int(s["category_id"]), int(s["id"])): pan == s["id"]
+        for s in segs
+        if (pan == s["id"]).sum() > 0
+    }
+
+
+def _pq_single(pred_pan, pred_segs, gt_pan, gt_segs):
+    """Panoptic-quality tallies for one image (PQ = sum IoU / (TP+FP/2+FN/2),
+    matching the COCO panopticapi protocol: same-category segments match at
+    IoU > 0.5; the void label 0 is excluded)."""
+    pred = _segments_from_pan(pred_pan, pred_segs)
+    gt = _segments_from_pan(gt_pan, gt_segs)
+    tp, iou_sum = 0, 0.0
+    matched_pred = set()
+    for gk, gmask in gt.items():
+        best, best_iou = None, 0.5
+        for pk, pmask in pred.items():
+            if pk in matched_pred or pk[:2] != gk[:2]:
+                continue
+            inter = np.logical_and(gmask, pmask).sum()
+            union = np.logical_or(gmask, pmask).sum()
+            iou = inter / max(union, 1)
+            if iou > best_iou:
+                best, best_iou = pk, iou
+        if best is not None:
+            matched_pred.add(best)
+            tp += 1
+            iou_sum += best_iou
+    fn = len(gt) - tp
+    fp = len(pred) - tp
+    return iou_sum, tp, fp, fn
+
+
+def eval_panoptic(model, params, images, gts, *, img_size=IMG_SIZE, batch_size=8):
+    """Self-eval PQ: inference -> paste masks -> combine heuristic -> match
+    against the synthetic GT panoptic segmentation (things = rectangles,
+    stuff = background)."""
+    import jax
+
+    from fsgd_tpu.models.meta_arch import combine_semantic_and_instance_outputs
+    from fsgd_tpu.ops.paste_masks import paste_masks_in_image
+
+    num_images = len(images)
+    fwd = jax.jit(model.inference_fn)
+    iou_sum, tp, fp, fn = 0.0, 0, 0, 0
+    for start in range(0, num_images, batch_size):
+        idxs = list(range(start, min(start + batch_size, num_images)))
+        b = len(idxs)
+        batch = {
+            "image": np.stack([images[i] for i in idxs]),
+            "image_size": np.tile([[img_size, img_size]], (b, 1)).astype(np.int32),
+            "out_size": np.tile([[img_size, img_size]], (b, 1)).astype(np.int32),
+        }
+        dets = fwd(params, {k: jax.numpy.asarray(v) for k, v in batch.items()})
+        sem = np.asarray(dets["sem_seg_logits"]).argmax(-1)  # (B, H, W)
+        for j, i in enumerate(idxs):
+            vj = np.where(np.asarray(dets["valid"][j]))[0]
+            if len(vj):
+                masks = paste_masks_in_image(
+                    np.asarray(dets["masks"][j, vj]),
+                    np.asarray(dets["boxes"][j, vj]),
+                    (img_size, img_size),
+                )
+            else:
+                masks = np.zeros((0, img_size, img_size), bool)
+            pan, segs = combine_semantic_and_instance_outputs(
+                masks,
+                np.asarray(dets["scores"][j, vj], np.float64),
+                np.asarray(dets["classes"][j, vj]),
+                sem[j],
+                overlap_threshold=0.5,
+                stuff_area_limit=256,
+                instances_confidence_threshold=0.5,
+            )
+            # GT panoptic: rectangles painted in order (later overwrite
+            # earlier, matching the dataset's pixel paint order) + background
+            boxes, classes = gts[i]
+            gt_pan = np.zeros((img_size, img_size), np.int32)
+            gt_segs = []
+            for k, (bx, c) in enumerate(zip(boxes, classes)):
+                x1, y1, x2, y2 = [int(v) for v in bx]
+                gt_pan[y1:y2, x1:x2] = k + 1
+                gt_segs.append({"id": k + 1, "isthing": True, "category_id": int(c)})
+            bg_id = len(boxes) + 1
+            gt_pan[gt_pan == 0] = bg_id
+            gt_segs.append({"id": bg_id, "isthing": False, "category_id": 1})
+            s, t, f, n = _pq_single(pan, segs, gt_pan, gt_segs)
+            iou_sum += s
+            tp += t
+            fp += f
+            fn += n
+    pq = iou_sum / max(tp + 0.5 * fp + 0.5 * fn, 1e-9)
+    return float(pq)
+
+
 SPECS = {
     "faster_rcnn": dict(iou="bbox", gate=0.9, num_classes=NUM_CLASSES),
     "retinanet": dict(iou="bbox", gate=0.9, num_classes=NUM_CLASSES),
     "mask_rcnn": dict(iou="segm", gate=0.8, num_classes=NUM_CLASSES),
     "keypoint_rcnn": dict(iou="keypoints", gate=0.7, num_classes=1),
+    "panoptic_fpn": dict(iou="pq", gate=0.6, num_classes=NUM_CLASSES),
+    "tensormask": dict(iou="segm", gate=0.7, num_classes=NUM_CLASSES),
 }
 
 
@@ -312,6 +456,7 @@ def run(model_name, max_iters, batch_size=8, eval_every=200, log=print):
 
     mask_stride = cfg.TPU.GT_MASK_STRIDE if cfg.MODEL.MASK_ON else None
     num_kpts = cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS if cfg.MODEL.KEYPOINT_ON else None
+    sem = model_name == "panoptic_fpn"
 
     rng = np.random.RandomState(0)
     t0 = time.time()
@@ -319,24 +464,30 @@ def run(model_name, max_iters, batch_size=8, eval_every=200, log=print):
     per_class = []
     for it in range(1, max_iters + 1):
         idxs = rng.choice(len(images), batch_size, replace=False)
-        batch = make_batch(images, gts, idxs, mask_stride=mask_stride, num_kpts=num_kpts)
+        batch = make_batch(images, gts, idxs, mask_stride=mask_stride,
+                           num_kpts=num_kpts, sem_seg=sem)
         batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
         state, metrics = step(state, batch, jax.random.PRNGKey(it))
         if it % 50 == 0:
             loss = float(metrics["total_loss"])
             log(f"[{model_name}] iter {it}: loss {loss:.4f} ({time.time() - t0:.0f}s)")
         if it % eval_every == 0 or it == max_iters:
-            ap50, per_class = eval_coco(
-                model, state.params, images, gts,
-                iou_type=spec["iou"], num_classes=spec["num_classes"],
-                batch_size=batch_size,
-            )
-            log(f"[{model_name}] iter {it}: {spec['iou']} AP50 {ap50:.4f}")
+            if spec["iou"] == "pq":
+                ap50 = eval_panoptic(model, state.params, images, gts,
+                                     batch_size=batch_size)
+                per_class = []
+            else:
+                ap50, per_class = eval_coco(
+                    model, state.params, images, gts,
+                    iou_type=spec["iou"], num_classes=spec["num_classes"],
+                    batch_size=batch_size,
+                )
+            log(f"[{model_name}] iter {it}: {spec['iou']} {ap50:.4f}")
             if ap50 >= spec["gate"]:
                 break
     return {
         "model": model_name,
-        "metric": spec["iou"] + "_ap50",
+        "metric": spec["iou"] if spec["iou"] == "pq" else spec["iou"] + "_ap50",
         "ap50": round(ap50, 4),
         "iters": it,
         "gate": spec["gate"],
@@ -525,7 +676,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--models",
-        default="faster_rcnn,retinanet,mask_rcnn,keypoint_rcnn,gambler_gan",
+        default="faster_rcnn,retinanet,mask_rcnn,keypoint_rcnn,panoptic_fpn,tensormask,gambler_gan",
     )
     ap.add_argument("--max-iters", type=int, default=1500)
     ap.add_argument("--gambler-iters", type=int, default=300)
