@@ -11,6 +11,13 @@ detection_checkpoint.py:26-59:
   (reference ``align_and_update_state_dicts``), so ImageNet backbones whose
   keys lack the ``backbone.(bottom_up.)`` prefix still land on the right
   leaves.
+* ``running_var`` tensors are loaded as ``var - eps`` (eps 1e-5): the
+  reference's FrozenBatchNorm2d load hook subtracts eps from metadata-less
+  state dicts — every ``.pkl`` zoo file — so the torch model actually runs
+  with ``var - eps`` (reference detectron2/layers/batch_norm.py:42,62-75;
+  its forward then adds eps back).  Skipping this shifts every BN scale by
+  ~eps/2var and measurably breaks full-model parity (tests/test_goldens.py
+  composed-model goldens caught it at the stem).
 * Layout conversions torch->flax: conv NCHW->NHWC kernels, deconv, fc
   transpose, and a CHW->HWC input permutation for every fc that flattens
   pooled feature maps (``box_head(.k).fc1`` incl. cascade stages).
@@ -307,12 +314,21 @@ def _fc_chw_to_hwc(weight_t: np.ndarray, pooled_hw: int) -> np.ndarray:
     return np.transpose(w, (1, 2, 0, 3)).reshape(in_dim, out_dim)
 
 
+_BN_EPS = 1e-5  # FrozenBatchNorm2d eps (reference batch_norm.py:35)
+
+
 def load_torch_checkpoint(checkpointer, path: str, pooled_hw: int = 7) -> Dict:
     """Name-matched load into checkpointer.checkpointables['model']."""
     state, is_c2 = _load_state_dict(path)
     logger.info("Loaded %d tensors from %s (caffe2=%s)", len(state), path, is_c2)
     if is_c2:
         state = convert_c2_names(state)
+    # Reference FrozenBatchNorm2d version<3 load semantics: metadata-less
+    # state dicts (all .pkl zoo files + Caffe2 blobs) carry var-with-eps, and
+    # the torch load hook subtracts eps before use (batch_norm.py:62-75).
+    state = {
+        k: (v - _BN_EPS if k.endswith("running_var") else v) for k, v in state.items()
+    }
     target = checkpointer.checkpointables.get("model")
     if target is None:
         logger.warning("No 'model' checkpointable registered; skipping torch load")

@@ -797,18 +797,6 @@ def gen_model_e2e(which):
             for i, p in enumerate(proposals):
                 out["rpn_prop_boxes_%d" % i] = p.proposal_boxes.tensor.numpy()
                 out["rpn_prop_logits_%d" % i] = p.objectness_logits.numpy()
-            # FPN + stem/stage features (diagnostic)
-            for fname, fv in feats.items():
-                out["feat_%s" % fname] = fv.numpy()
-            res_feats = model.backbone.bottom_up(images_il.tensor)
-            for fname, fv in res_feats.items():
-                out["res_%s" % fname] = fv.numpy()
-            # raw RPN head maps (diagnostic): (N, A*Hi*Wi) logits per level
-            rpn_feats = [feats[f] for f in model.proposal_generator.in_features]
-            rpn_logits, rpn_deltas = model.proposal_generator.rpn_head(rpn_feats)
-            for li, (lg, dl) in enumerate(zip(rpn_logits, rpn_deltas)):
-                out["rpn_logits_l%d" % li] = lg.numpy()  # (N, A, Hi, Wi)
-                out["rpn_deltas_l%d" % li] = dl.numpy()  # (N, A*4, Hi, Wi)
             sampled = model.roi_heads.label_and_sample_proposals(proposals, gt_instances)
             out["roi_sampled_count"] = np.array(
                 [len(p) for p in sampled], np.int64
