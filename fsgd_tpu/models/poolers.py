@@ -68,10 +68,17 @@ class ROIPooler:
         assert self.max_level - self.min_level + 1 == len(scales), "scales must be contiguous powers of 2"
         self.canonical_box_size = canonical_box_size
         self.canonical_level = canonical_level
-        # FPN level assignment bounds bin sizes to ~2 samples per side (the
-        # canonical box maps to pool_size*2 at its level); capping the
-        # adaptive grid here cuts gather volume 16x vs the generic default.
-        self.max_grid = 2
+        # FPN level assignment puts SQUARE boxes' bin sizes in [2, 4) cells
+        # (level = floor(...) leaves a fractional 2^f, f in [0,1), on the
+        # canonical 2 cells/bin), and aspect ratio stretches the long side
+        # by sqrt(aspect) — so the reference's adaptive ceil(bin) grid uses
+        # 2-4 samples per side for square rois and up to 4*sqrt(aspect) for
+        # elongated ones.  A bound of 8 (aspect <= 4) reproduces the
+        # reference exactly for every realistic roi; in the packed path the
+        # bound only sizes the (cheap, vectorized) interpolation-bank build,
+        # not the MXU contractions.  (A cap of 2 undersampled most rois by
+        # ~10% in pooled values — caught by the composed-model goldens.)
+        self.max_grid = 8
         self.roi_chunk = 512
         # packed-pyramid windowed-matmul path (see ops/roi_align_packed.py);
         # window must cover a roi's cell span at its assigned level
@@ -138,6 +145,7 @@ class ROIPooler:
                 window=self.window,
                 aligned=aligned,
                 roi_chunk=self.roi_chunk,
+                adaptive=self.sampling_ratio <= 0,
             )
             return out
 

@@ -80,12 +80,18 @@ def _interp_weights(samples: jnp.ndarray, valid: jnp.ndarray, start: jnp.ndarray
 
 
 def _window_meta(
-    batch_idx, boxes, levels, row_offsets, heights, widths, scales, ph, pw, grid, window, aligned
+    batch_idx, boxes, levels, row_offsets, heights, widths, scales, ph, pw, grid, window, aligned,
+    adaptive=False,
 ):
     """Vectorized per-roi window origins + interpolation banks.
 
-    Returns starts (N, 3) int32, wy (N, PH, Wd), wx (N, PW, Wd); wy carries
-    the 1/grid^2 sample average.
+    Returns starts (N, 3) int32, wy (N, PH, Wd), wx (N, PW, Wd); the
+    per-sample average is folded into the banks (wy carries 1/grid_h, wx
+    1/grid_w).  With ``adaptive`` (reference ``sampling_ratio=0``), each
+    roi uses ceil(bin) samples per side — traced per roi, statically
+    bounded by ``grid`` — matching the reference CUDA kernel's adaptive
+    grid (detectron2/layers/csrc/ROIAlign/ROIAlign_cpu.cpp:184-187);
+    zero-size rois keep grid 0 -> zero output (reference count semantics).
     """
     scale = scales[levels]
     h_l = heights[levels].astype(jnp.float32)
@@ -107,16 +113,24 @@ def _window_meta(
 
     s = grid
     iy = jnp.arange(s, dtype=jnp.float32)
+    if adaptive:
+        grid_h = jnp.clip(jnp.ceil(bin_h), 0.0, float(s))  # (N,)
+        grid_w = jnp.clip(jnp.ceil(bin_w), 0.0, float(s))
+    else:
+        grid_h = jnp.full_like(bin_h, float(s))
+        grid_w = jnp.full_like(bin_w, float(s))
+    gh = jnp.maximum(grid_h, 1.0)
+    gw = jnp.maximum(grid_w, 1.0)
     bins_y = jnp.arange(ph, dtype=jnp.float32)
     bins_x = jnp.arange(pw, dtype=jnp.float32)
     sy = y1[:, None, None] + bins_y[None, :, None] * bin_h[:, None, None] + (
         iy[None, None, :] + 0.5
-    ) * (bin_h[:, None, None] / s)
+    ) * (bin_h[:, None, None] / gh[:, None, None])
     sx = x1[:, None, None] + bins_x[None, :, None] * bin_w[:, None, None] + (
         iy[None, None, :] + 0.5
-    ) * (bin_w[:, None, None] / s)
-    vy = (sy > -1.0) & (sy < h_l[:, None, None])
-    vx = (sx > -1.0) & (sx < w_l[:, None, None])
+    ) * (bin_w[:, None, None] / gw[:, None, None])
+    vy = (sy > -1.0) & (sy < h_l[:, None, None]) & (iy[None, None, :] < grid_h[:, None, None])
+    vx = (sx > -1.0) & (sx < w_l[:, None, None]) & (iy[None, None, :] < grid_w[:, None, None])
 
     wy0 = jnp.clip(jnp.floor(y1), 0.0, jnp.maximum(h_l - 1.0, 0.0)).astype(jnp.int32)
     wx0 = jnp.clip(jnp.floor(x1), 0.0, jnp.maximum(w_l - 1.0, 0.0)).astype(jnp.int32)
@@ -125,10 +139,10 @@ def _window_meta(
 
     wy = jax.vmap(_interp_weights, in_axes=(0, 0, 0, 0, None))(
         sy, vy.astype(jnp.float32), wy0.astype(jnp.float32), h_l, window
-    ) / (s * s)
+    ) / gh[:, None, None]
     wx = jax.vmap(_interp_weights, in_axes=(0, 0, 0, 0, None))(
         sx, vx.astype(jnp.float32), wx0.astype(jnp.float32), w_l, window + 8
-    )
+    ) / gw[:, None, None]
     starts = jnp.stack([batch_idx, row0 + wy0, wx0], axis=1)
     return starts, wy, wx
 
@@ -172,7 +186,7 @@ def _xla_windows(packed, starts, wy, wx, window, chunk):
 
 @partial(
     jax.jit,
-    static_argnames=("output_size", "grid", "window", "aligned", "roi_chunk", "strides"),
+    static_argnames=("output_size", "grid", "window", "aligned", "roi_chunk", "strides", "adaptive"),
 )
 def roi_align_packed(
     features_tuple: Tuple[jnp.ndarray, ...],
@@ -184,6 +198,7 @@ def roi_align_packed(
     window: int = 48,
     aligned: bool = True,
     roi_chunk: int = 512,
+    adaptive: bool = False,
 ) -> jnp.ndarray:
     """Multi-level ROIAlign over a packed pyramid.  Returns (B, P, PH, PW, C)."""
     ph, pw = output_size
@@ -208,7 +223,7 @@ def roi_align_packed(
     starts, wy, wx = _window_meta(
         batch_idx, flat_boxes, flat_levels,
         row_offsets, heights_a, widths_a, scales,
-        ph, pw, grid, window, aligned,
+        ph, pw, grid, window, aligned, adaptive,
     )
 
     if jax.default_backend() == "tpu":
@@ -239,7 +254,7 @@ def roi_align_packed(
             starts_s, wy_s, wx_s = _window_meta(
                 batch_idx, flat_boxes, flat_levels,
                 row_offsets, heights_a, widths_a, scales,
-                ph, pw, grid, w_small, aligned,
+                ph, pw, grid, w_small, aligned, adaptive,
             )
             out = roi_align_windows_bucketed(
                 packed, starts_s, wy_s, wx_s, starts, wy, wx, small,

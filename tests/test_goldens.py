@@ -433,10 +433,6 @@ def test_retinanet_model_e2e_golden():
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(
-    reason="ROI loss_cls 0.35% off golden — divergence under investigation "
-    "(RPN losses + RetinaNet full parity pass)", strict=False
-)
 def test_faster_rcnn_model_e2e_golden():
     cfg, z = _e2e_cfg("faster_rcnn")
     model, params = _e2e_load_params(cfg, "faster_rcnn")
