@@ -258,6 +258,11 @@ _DEFAULTS = dict(
         # reference decode semantics; the bench configs opt in explicitly
         # (VERDICT round-2 item 7: default-exact, fast path opt-in).
         APPROX_TOPK=False,
+        # Compute the ResNet stem 7x7/2 conv as a 4x4/1 conv over the 2x2
+        # space-to-depth input (exact rewrite; 12 MXU input channels instead
+        # of 3 — measured 11.0 -> 6.9 ms fwd+bwd at 800x1344x8 bf16, see
+        # dev/conv_experiments.py).  False restores the direct convolution.
+        STEM_S2D=True,
         # Device mesh axis names/sizes; -1 means "all available devices".
         MESH_AXES=["data"],
         MESH_SHAPE=[-1],

@@ -27,6 +27,64 @@ from ..build import BACKBONE_REGISTRY
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
+class S2DConv7x7(nn.Module):
+    """7x7 stride-2 conv computed as a 4x4 stride-1 conv over the 2x2
+    space-to-depth rearrangement of the input.
+
+    Numerically identical (the same 147 products per output element,
+    reassociated), but the MXU contraction sees 4*C_in input channels
+    instead of C_in — for the RGB stem that is 12 vs 3, and the measured
+    fwd+bwd cost drops 11.0 -> 6.9 ms at 800x1344x8 bf16
+    (dev/conv_experiments.py ``stem_pad`` row; the MLPerf ResNet trick).
+
+    The parameter keeps the canonical (7, 7, C, F) layout — checkpoint /
+    model-zoo parity is untouched — and is rearranged at apply time: pad
+    the taps to (8, 8) at the top-left, split each spatial axis into
+    (outer 4, parity 2), and fold the parity pair into the input channels.
+    Odd spatial extents fall back to the direct convolution.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", conv_init, (7, 7, c, self.features), jnp.float32)
+        n, h, w, _ = x.shape
+        if h % 2 or w % 2:
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x2 = (
+                x.reshape(n, h // 2, 2, w // 2, 2, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(n, h // 2, w // 2, 4 * c)
+            )
+            # w2[ay, ax, (dy, dx, c), f] = kernel[2*ay+dy-1, 2*ax+dx-1, c, f]
+            # so that out[y, x] = sum kernel[ky, kx] * in[2y+ky-3, 2x+kx-3]
+            # with ky = 2*ay+dy-1 and the (2,1) asymmetric padding below.
+            wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            w2 = (
+                wp.reshape(4, 2, 4, 2, c, self.features)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(4, 4, 4 * c, self.features)
+            )
+            out = jax.lax.conv_general_dilated(
+                x2.astype(self.dtype), w2.astype(self.dtype),
+                (1, 1), [(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class ConvNorm(nn.Module):
     """Conv2D + optional norm (no activation)."""
 
@@ -38,10 +96,17 @@ class ConvNorm(nn.Module):
     norm: str = "FrozenBN"
     use_bias: Optional[bool] = None
     dtype: Any = jnp.bfloat16
+    s2d: bool = False  # 7x7/2 space-to-depth rewrite (stem only)
 
     @nn.compact
     def __call__(self, x):
         use_bias = self.use_bias if self.use_bias is not None else (self.norm == "")
+        if self.s2d and self.kernel == (7, 7) and self.stride == 2 and self.dilation == 1 and self.groups == 1:
+            x = S2DConv7x7(self.features, use_bias=use_bias, dtype=self.dtype, name="conv")(x)
+            norm = get_norm(self.norm, self.features)
+            if norm is not None:
+                x = norm(x)
+            return x
         pad = ((self.kernel[0] - 1) // 2 * self.dilation, (self.kernel[1] - 1) // 2 * self.dilation)
         x = nn.Conv(
             features=self.features,
@@ -68,10 +133,14 @@ class BasicStem(nn.Module):
     out_channels: int = 64
     norm: str = "FrozenBN"
     dtype: Any = jnp.bfloat16
+    s2d: bool = True  # exact rewrite; TPU.STEM_S2D=False restores direct conv
 
     @nn.compact
     def __call__(self, x):
-        x = ConvNorm(self.out_channels, (7, 7), stride=2, norm=self.norm, dtype=self.dtype, name="stem_conv1")(x)
+        x = ConvNorm(
+            self.out_channels, (7, 7), stride=2, norm=self.norm,
+            dtype=self.dtype, s2d=self.s2d, name="stem_conv1",
+        )(x)
         x = nn.relu(x)
         # torch MaxPool2d(kernel=3, stride=2, padding=1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -197,11 +266,14 @@ class ResNet(nn.Module):
     norm: str = "FrozenBN"
     freeze_at: int = 0
     dtype: Any = jnp.bfloat16
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x):
         outputs: Dict[str, jnp.ndarray] = {}
-        x = BasicStem(self.stem_out_channels, self.norm, self.dtype, name="stem")(x)
+        x = BasicStem(
+            self.stem_out_channels, self.norm, self.dtype, s2d=self.stem_s2d, name="stem"
+        )(x)
         if self.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
         if "stem" in self.out_features:
@@ -291,4 +363,5 @@ def build_resnet_backbone(cfg, input_shape: ShapeSpec = None) -> ResNet:
         deform_modulated=cfg.MODEL.RESNETS.DEFORM_MODULATED,
         deform_num_groups=cfg.MODEL.RESNETS.DEFORM_NUM_GROUPS,
         dtype=dtype,
+        stem_s2d=cfg.TPU.get("STEM_S2D", True),
     )
