@@ -316,7 +316,12 @@ def _merge_detail(new_rows_by_metric):
 def main():
     new_rows = {}
     errors = {}
-    if not _wait_for_tpu(max_wait=240):
+    # The tunnel flaps in multi-minute cycles: let the INITIAL probe use all
+    # deadline not reserved for actually measuring the north-star (~6 min
+    # with a warm compile cache).  A fixed small cap here returned rc=1 with
+    # 2000+ s of deadline unspent when the tunnel happened to be mid-flap at
+    # start-up.
+    if not _wait_for_tpu(max_wait=max(240, _remaining() - 360)):
         # fail fast and loud: no value-0.0 rows, BENCH_DETAIL keeps old rows
         _merge_detail({m: None for m in METRICS})
         print(
@@ -336,7 +341,9 @@ def main():
             errors[metric] = "global deadline reached"
             new_rows[metric] = None
             continue
-        if i and not _wait_for_tpu(max_wait=120):
+        # Mid-run flap: wait it out generously (remaining metrics each get a
+        # shot anyway; _remaining() keeps the collective budget honest).
+        if i and not _wait_for_tpu(max_wait=max(120, min(600, _remaining() - 180))):
             errors[metric] = "TPU tunnel unresponsive before metric"
             new_rows[metric] = None
             continue

@@ -48,15 +48,21 @@ FLAG_VARIANTS = {
 }
 
 
-def _build_backbone(no_norm=False):
+def _build_backbone(no_norm=False, stem_s2d=None):
     import jax
 
     from bench import _build
 
     cfg, model = _build("faster_rcnn_r50fpn", (H, W), "bfloat16", 64)
+    rebuild = False
     if no_norm:
         cfg.MODEL.RESNETS.NORM = ""
         cfg.MODEL.FPN.NORM = ""
+        rebuild = True
+    if stem_s2d is not None:
+        cfg.TPU.STEM_S2D = stem_s2d
+        rebuild = True
+    if rebuild:
         from fsgd_tpu.models import build_model
 
         model = build_model(cfg)
@@ -159,6 +165,13 @@ def main():
                 row = {"variant": v, **_time_stem_pad(args.iters)}
             elif v == "no_norm":
                 model, bb = _build_backbone(no_norm=True)
+                fn, fargs = _backbone_step(model, bb)
+                dt = _time_step(fn, fargs, args.iters)
+                row = {"variant": v, "backbone_ms": round(dt * 1e3, 2)}
+            elif v == "stem_direct":
+                # TPU.STEM_S2D=False: the pre-s2d direct 7x7/2 stem, for the
+                # recorded before/after at full-backbone granularity
+                model, bb = _build_backbone(stem_s2d=False)
                 fn, fargs = _backbone_step(model, bb)
                 dt = _time_step(fn, fargs, args.iters)
                 row = {"variant": v, "backbone_ms": round(dt * 1e3, 2)}
