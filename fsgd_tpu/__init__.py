@@ -18,3 +18,20 @@ Design stance (see SURVEY.md section 7):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor an explicit JAX_PLATFORMS env var over any platform pinned by a
+    # site hook (the axon sitecustomize calls jax.config.update at interpreter
+    # start, which silently outranks the env var — `JAX_PLATFORMS=cpu
+    # python tools/infer.py` would otherwise still run on the TPU tunnel).
+    # No-op when they already agree or when a backend is already live.
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - backend already initialized
+        pass
+del _os

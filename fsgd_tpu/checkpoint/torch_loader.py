@@ -283,8 +283,12 @@ def _convert_tensor(src: np.ndarray, target_shape, torch_name: str) -> Optional[
     tgt = tuple(target_shape)
     if src.ndim == 4 and len(tgt) == 4:
         if "deconv" in torch_name or "lowres" in torch_name:
-            # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)
-            out = np.transpose(src, (2, 3, 0, 1))
+            # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out).
+            # torch's op is the GRADIENT of conv (kernel applied rot-180), while
+            # flax/lax conv_transpose is a fractionally-strided FORWARD conv, so
+            # the spatial taps must be flipped (verified vs torch numerically;
+            # see tests/test_goldens.py::test_mask_rcnn_model_e2e_golden).
+            out = np.transpose(src[:, :, ::-1, ::-1], (2, 3, 0, 1))
         else:
             # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)
             out = np.transpose(src, (2, 3, 1, 0))

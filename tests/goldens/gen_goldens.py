@@ -589,9 +589,14 @@ E2E_OVERRIDES = {
     ],
 }
 
+E2E_OVERRIDES["mask_rcnn"] = E2E_OVERRIDES["faster_rcnn"] + [
+    "MODEL.ROI_MASK_HEAD.CONV_DIM", "64",
+]
+
 E2E_CONFIGS = {
     "retinanet": "configs/COCO-Detection/retinanet_R_50_FPN_1x.yaml",
     "faster_rcnn": "configs/COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml",
+    "mask_rcnn": "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
 }
 
 # Two 128x128 images (divisible by every FPN stride: no ImageList padding
@@ -607,6 +612,19 @@ E2E_GT = [
 def e2e_images():
     rng = np.random.RandomState(11)
     return rng.randint(0, 256, (2, E2E_HW, E2E_HW, 3)).astype(np.uint8)
+
+
+def e2e_gt_masks():
+    """(2, 3, H, W) uint8 instance bitmasks: the ellipse inscribed in each GT
+    box (deterministic; rows past an image's GT count stay empty)."""
+    out = np.zeros((2, 3, E2E_HW, E2E_HW), np.uint8)
+    yy, xx = np.mgrid[0:E2E_HW, 0:E2E_HW].astype(np.float64) + 0.5
+    for i, g in enumerate(E2E_GT):
+        for j, (x1, y1, x2, y2) in enumerate(g["boxes"]):
+            cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+            rx, ry = (x2 - x1) / 2.0, (y2 - y1) / 2.0
+            out[i, j] = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 <= 1.0)
+    return out
 
 
 def _patch_roi_align():
@@ -669,6 +687,17 @@ def _spread_head_weights(model, which):
             p.cls_score.bias.normal_(0, 0.5)
             p.bbox_pred.weight.normal_(0, 0.02)
             p.bbox_pred.bias.normal_(0, 0.05)
+            if hasattr(model.roi_heads, "mask_head"):
+                # spread mask-head weights too: default MSRA init leaves the
+                # mask logits near 0 (sigmoid 0.5 everywhere), which would pin
+                # nothing about the deconv/predictor layout conversions
+                for m in model.roi_heads.mask_head.modules():
+                    if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d)):
+                        m.weight.normal_(0, 0.05)
+                        if m.bias is not None:
+                            m.bias.normal_(0, 0.02)
+                model.roi_heads.mask_head.predictor.weight.normal_(0, 0.1)
+                model.roi_heads.mask_head.predictor.bias.normal_(0, 0.3)
 
 
 def _calibrate_frozen_bn(model, images_tensor):
@@ -719,15 +748,21 @@ def _save_weights_fp16_roundtrip(model, path):
         )
 
 
-def _e2e_batched_inputs():
+def _e2e_batched_inputs(with_masks=False):
     from detectron2.structures import Boxes, Instances
 
     images = e2e_images()
+    masks = e2e_gt_masks() if with_masks else None
     batched = []
     for i in range(2):
         inst = Instances((E2E_HW, E2E_HW))
         inst.gt_boxes = Boxes(torch.tensor(E2E_GT[i]["boxes"], dtype=torch.float32))
         inst.gt_classes = torch.tensor(E2E_GT[i]["classes"], dtype=torch.int64)
+        if with_masks:
+            from detectron2.structures import BitMasks
+
+            n = len(E2E_GT[i]["classes"])
+            inst.gt_masks = BitMasks(torch.from_numpy(masks[i, :n].astype(bool)))
         batched.append(
             {
                 "image": torch.as_tensor(
@@ -788,7 +823,9 @@ def gen_model_e2e(which):
                 dim=1,
             ).numpy()
         else:
-            batched = _e2e_batched_inputs()
+            batched = _e2e_batched_inputs(with_masks=(which == "mask_rcnn"))
+            if which == "mask_rcnn":
+                out["gt_masks"] = e2e_gt_masks()
             # diagnostic capture: train-mode RPN proposals + ROI sampling stats
             images_il = model.preprocess_image(batched)
             gt_instances = [x["instances"] for x in batched]
@@ -812,13 +849,25 @@ def gen_model_e2e(which):
     # ---- inference: final detections per image
     model.eval()
     with torch.no_grad():
-        result = model(_e2e_batched_inputs())
-    processed = result[3] if which == "retinanet" else result  # fork 4-tuple
+        if which == "mask_rcnn":
+            # do_postprocess=False: capture the RAW 28x28 per-detection mask
+            # probabilities (a pure function of the weights — the tight pin
+            # for the deconv/predictor layout conversions) instead of pasted
+            # full-image bitmasks whose 0.5-binarization is fragile across
+            # frameworks.  Input frame == output frame (128x128), so boxes
+            # match the postprocessed ones up to clipping.
+            processed_raw = model.inference(_e2e_batched_inputs(), do_postprocess=False)
+            processed = [{"instances": r} for r in processed_raw]
+        else:
+            result = model(_e2e_batched_inputs())
+            processed = result[3] if which == "retinanet" else result  # fork 4-tuple
     for i, r in enumerate(processed):
         inst = r["instances"]
         out["det_boxes_%d" % i] = inst.pred_boxes.tensor.numpy()
         out["det_scores_%d" % i] = inst.scores.numpy()
         out["det_classes_%d" % i] = inst.pred_classes.numpy()
+        if inst.has("pred_masks"):
+            out["det_masks_%d" % i] = inst.pred_masks.numpy()[:, 0]  # (N, 28, 28) probs
 
     np.savez(os.path.join(OUT_DIR, "%s_e2e.npz" % which), **out)
     print(
@@ -839,6 +888,7 @@ def main():
     gen_rpn()
     gen_model_e2e("retinanet")
     gen_model_e2e("faster_rcnn")
+    gen_model_e2e("mask_rcnn")
 
 
 if __name__ == "__main__":

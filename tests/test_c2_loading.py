@@ -99,7 +99,9 @@ def _make_c2_blobs(params, pooled_hw=7, seed=11):
             v = v.T  # torch (out, in)
         elif v.ndim == 4:
             if "deconv" in d2 or "lowres" in d2:
-                v = np.transpose(v, (2, 3, 0, 1))  # (kh,kw,in,out)->(in,out,kh,kw)
+                # (kh,kw,in,out)->(in,out,kh,kw) + rot-180 (torch ConvTranspose2d
+                # kernels are gradient-of-conv taps; loader flips them back)
+                v = np.transpose(v, (2, 3, 0, 1))[:, :, ::-1, ::-1]
             else:
                 v = np.transpose(v, (3, 2, 0, 1))  # ->(out,in,kh,kw)
         # Caffe2 puts the background class first: prepend junk that the

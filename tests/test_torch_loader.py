@@ -28,7 +28,8 @@ def _make_d2_state_dict(params):
             continue
         if v.ndim == 4:
             if "deconv" in name or "score_lowres" in name:
-                v = np.transpose(v, (2, 3, 0, 1))
+                # inverse of the loader's flip+transpose (rot-180 taps)
+                v = np.transpose(v, (2, 3, 0, 1))[:, :, ::-1, ::-1]
             else:
                 v = np.transpose(v, (3, 2, 0, 1))
         elif v.ndim == 2:
