@@ -56,6 +56,10 @@ _PREDEFINED_SPLITS_LVIS = {
     "lvis_v0.5_train": ("coco/train2017", "lvis/lvis_v0.5_train.json"),
     "lvis_v0.5_val": ("coco/val2017", "lvis/lvis_v0.5_val.json"),
     "lvis_v0.5_val_rand_100": ("coco/val2017", "lvis/lvis_v0.5_val_rand_100.json"),
+    "lvis_v0.5_test": ("coco/test2017", "lvis/lvis_v0.5_image_info_test.json"),
+    # fork subset split (reference builtin.py:159, used by
+    # LVIS-ImbalanceDetection/faster_rcnn_R_50_FPN_1x.yaml)
+    "lvis_v0.5_train_one_forth": ("coco/train2017", "lvis/lvis_v0.5_train_one_forth.json"),
 }
 
 

@@ -236,16 +236,19 @@ class UnetSkipConnectionBlock(nn.Module):
             self.inner_nc, (k, k), strides=(2, 2), padding=((p, p), (p, p)),
             dtype=self.dtype, param_dtype=jnp.float32, name="downconv",
         )
+        # flax ConvTranspose explicit pads are p_flax = k-1-p_torch; the
+        # upconvs mirror torch ConvTranspose2d(k, 2, p) (out = 2*in for
+        # k=4, p=1), see keypoint_head.py for the derivation
         if self.outermost:
             y = down(x)
             y = self.submodule(y)
-            y = nn.ConvTranspose(self.outer_nc, (k, k), strides=(2, 2), padding=((p, p), (p, p)),
+            y = nn.ConvTranspose(self.outer_nc, (k, k), strides=(2, 2), padding=((k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)),
                                  dtype=self.dtype, param_dtype=jnp.float32, name="upconv")(nn.relu(y))
             y = _pad_or_crop_to(y, x.shape[1], x.shape[2])
             return jax.nn.sigmoid(y)
         if self.innermost:
             y = down(nn.leaky_relu(x, 0.2))
-            y = nn.ConvTranspose(self.outer_nc, (k, k), strides=(2, 2), padding=((p, p), (p, p)),
+            y = nn.ConvTranspose(self.outer_nc, (k, k), strides=(2, 2), padding=((k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)),
                                  dtype=self.dtype, param_dtype=jnp.float32, name="upconv")(nn.relu(y))
             y = TrainModeBatchNorm(self.outer_nc, name="upnorm")(y)
             y = _pad_or_crop_to(y, x.shape[1], x.shape[2])
@@ -253,7 +256,7 @@ class UnetSkipConnectionBlock(nn.Module):
         y = down(nn.leaky_relu(x, 0.2))
         y = TrainModeBatchNorm(self.inner_nc, name="downnorm")(y)
         y = self.submodule(y)
-        y = nn.ConvTranspose(self.outer_nc, (k, k), strides=(2, 2), padding=((p, p), (p, p)),
+        y = nn.ConvTranspose(self.outer_nc, (k, k), strides=(2, 2), padding=((k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)),
                              dtype=self.dtype, param_dtype=jnp.float32, name="upconv")(nn.relu(y))
         y = TrainModeBatchNorm(self.outer_nc, name="upnorm")(y)
         y = _pad_or_crop_to(y, x.shape[1], x.shape[2])

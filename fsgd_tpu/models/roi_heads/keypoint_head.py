@@ -45,7 +45,11 @@ class KRCNNConvDeconvUpsampleHead(nn.Module):
             self.num_keypoints,
             (4, 4),
             strides=(2, 2),
-            padding=((1, 1), (1, 1)),
+            # torch ConvTranspose2d(k=4, s=2, p=1) == flax "SAME" (out = 2*in;
+            # flax explicit pads are p_flax = k-1-p_torch, so ((1,1),(1,1))
+            # would shrink the heatmap to 26x26 — caught by the keypoint
+            # composed-model golden, tests/test_goldens.py)
+            padding="SAME",
             kernel_init=msra_init,
             dtype=self.dtype,
             param_dtype=jnp.float32,

@@ -593,10 +593,15 @@ E2E_OVERRIDES["mask_rcnn"] = E2E_OVERRIDES["faster_rcnn"] + [
     "MODEL.ROI_MASK_HEAD.CONV_DIM", "64",
 ]
 
+E2E_OVERRIDES["keypoint_rcnn"] = E2E_OVERRIDES["faster_rcnn"] + [
+    "MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS", "(64, 64)",
+]
+
 E2E_CONFIGS = {
     "retinanet": "configs/COCO-Detection/retinanet_R_50_FPN_1x.yaml",
     "faster_rcnn": "configs/COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml",
     "mask_rcnn": "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
+    "keypoint_rcnn": "configs/COCO-Keypoints/keypoint_rcnn_R_50_FPN_1x.yaml",
 }
 
 # Two 128x128 images (divisible by every FPN stride: no ImageList padding
@@ -624,6 +629,28 @@ def e2e_gt_masks():
             cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
             rx, ry = (x2 - x1) / 2.0, (y2 - y1) / 2.0
             out[i, j] = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 <= 1.0)
+    return out
+
+
+# COCO-style visibility codes (0 unlabeled, 1 labeled-invisible, 2 visible);
+# the pattern is rotated per instance so every code appears in every image.
+KP_VIS_PATTERN = [2, 2, 2, 1, 2, 2, 0, 2, 2, 1, 2, 2, 2, 0, 2, 2, 2]
+
+
+def e2e_gt_keypoints():
+    """(2, 3, 17, 3) float32 deterministic keypoints strictly inside each GT
+    box (an interleaved grid; rows past an image's GT count stay zero)."""
+    out = np.zeros((2, 3, 17, 3), np.float32)
+    for i, g in enumerate(E2E_GT):
+        for j, (x1, y1, x2, y2) in enumerate(g["boxes"]):
+            for k in range(17):
+                u = 0.12 + 0.76 * (((k * 7) % 17) / 16.0)
+                v = 0.12 + 0.76 * (k / 16.0)
+                out[i, j, k] = (
+                    x1 + (x2 - x1) * u,
+                    y1 + (y2 - y1) * v,
+                    KP_VIS_PATTERN[(k + i + j) % 17],
+                )
     return out
 
 
@@ -698,6 +725,16 @@ def _spread_head_weights(model, which):
                             m.bias.normal_(0, 0.02)
                 model.roi_heads.mask_head.predictor.weight.normal_(0, 0.1)
                 model.roi_heads.mask_head.predictor.bias.normal_(0, 0.3)
+            if hasattr(model.roi_heads, "keypoint_head"):
+                # same rationale: near-zero heatmap logits pin nothing about
+                # the conv tower / score_lowres deconv layout conversions
+                for m in model.roi_heads.keypoint_head.modules():
+                    if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d)):
+                        m.weight.normal_(0, 0.05)
+                        if m.bias is not None:
+                            m.bias.normal_(0, 0.02)
+                model.roi_heads.keypoint_head.score_lowres.weight.normal_(0, 0.12)
+                model.roi_heads.keypoint_head.score_lowres.bias.normal_(0, 0.3)
 
 
 def _calibrate_frozen_bn(model, images_tensor):
@@ -748,20 +785,28 @@ def _save_weights_fp16_roundtrip(model, path):
         )
 
 
-def _e2e_batched_inputs(with_masks=False):
+def _e2e_batched_inputs(with_masks=False, with_keypoints=False):
     from detectron2.structures import Boxes, Instances
 
     images = e2e_images()
     masks = e2e_gt_masks() if with_masks else None
+    kpts = e2e_gt_keypoints() if with_keypoints else None
     batched = []
     for i in range(2):
         inst = Instances((E2E_HW, E2E_HW))
         inst.gt_boxes = Boxes(torch.tensor(E2E_GT[i]["boxes"], dtype=torch.float32))
-        inst.gt_classes = torch.tensor(E2E_GT[i]["classes"], dtype=torch.int64)
+        n = len(E2E_GT[i]["classes"])
+        if with_keypoints:
+            # keypoint configs train a single (person) class
+            inst.gt_classes = torch.zeros(n, dtype=torch.int64)
+            from detectron2.structures import Keypoints
+
+            inst.gt_keypoints = Keypoints(torch.from_numpy(kpts[i, :n]))
+        else:
+            inst.gt_classes = torch.tensor(E2E_GT[i]["classes"], dtype=torch.int64)
         if with_masks:
             from detectron2.structures import BitMasks
 
-            n = len(E2E_GT[i]["classes"])
             inst.gt_masks = BitMasks(torch.from_numpy(masks[i, :n].astype(bool)))
         batched.append(
             {
@@ -823,9 +868,14 @@ def gen_model_e2e(which):
                 dim=1,
             ).numpy()
         else:
-            batched = _e2e_batched_inputs(with_masks=(which == "mask_rcnn"))
+            batched = _e2e_batched_inputs(
+                with_masks=(which == "mask_rcnn"),
+                with_keypoints=(which == "keypoint_rcnn"),
+            )
             if which == "mask_rcnn":
                 out["gt_masks"] = e2e_gt_masks()
+            if which == "keypoint_rcnn":
+                out["gt_keypoints"] = e2e_gt_keypoints()
             # diagnostic capture: train-mode RPN proposals + ROI sampling stats
             images_il = model.preprocess_image(batched)
             gt_instances = [x["instances"] for x in batched]
@@ -849,13 +899,14 @@ def gen_model_e2e(which):
     # ---- inference: final detections per image
     model.eval()
     with torch.no_grad():
-        if which == "mask_rcnn":
+        if which in ("mask_rcnn", "keypoint_rcnn"):
             # do_postprocess=False: capture the RAW 28x28 per-detection mask
             # probabilities (a pure function of the weights — the tight pin
             # for the deconv/predictor layout conversions) instead of pasted
             # full-image bitmasks whose 0.5-binarization is fragile across
             # frameworks.  Input frame == output frame (128x128), so boxes
-            # match the postprocessed ones up to clipping.
+            # match the postprocessed ones up to clipping.  Keypoints come
+            # out as (N, 17, 3) = (x, y, prob) in the input frame.
             processed_raw = model.inference(_e2e_batched_inputs(), do_postprocess=False)
             processed = [{"instances": r} for r in processed_raw]
         else:
@@ -868,6 +919,25 @@ def gen_model_e2e(which):
         out["det_classes_%d" % i] = inst.pred_classes.numpy()
         if inst.has("pred_masks"):
             out["det_masks_%d" % i] = inst.pred_masks.numpy()[:, 0]  # (N, 28, 28) probs
+        if inst.has("pred_keypoints"):
+            out["det_keypoints_%d" % i] = inst.pred_keypoints.numpy()  # (N, 17, 3)
+    if which == "keypoint_rcnn":
+        # ALSO capture the raw per-detection heatmap logits: random-weight
+        # heatmaps are nearly flat, so the decoded argmax is numerically
+        # unstable across frameworks — the logits are the meaningful pin
+        # (the decode convention is pinned separately by gen_kp_decode on
+        # peaked maps).
+        captured = []
+        h = model.roi_heads.keypoint_head.register_forward_hook(
+            lambda mod, inp, out_: captured.append(out_.detach().numpy())
+        )
+        with torch.no_grad():
+            model.inference(_e2e_batched_inputs(), do_postprocess=False)
+        h.remove()
+        logits = np.concatenate(captured, axis=0)  # (sum N_i, K, S, S)
+        n0 = len(out["det_scores_0"])
+        out["det_kp_logits_0"] = logits[:n0]
+        out["det_kp_logits_1"] = logits[n0:]
 
     np.savez(os.path.join(OUT_DIR, "%s_e2e.npz" % which), **out)
     print(
@@ -880,6 +950,46 @@ def gen_model_e2e(which):
     )
 
 
+def gen_kp_decode():
+    """Golden for the keypoint heatmap decode convention on PEAKED maps.
+
+    heatmaps_to_keypoints (reference structures/keypoints.py:142-218) bicubic-
+    upsamples each map to the per-roi ceil(h)xceil(w) size before the argmax;
+    fsgd_tpu uses a static 4x upsample.  On peaked maps both land within a
+    fraction of one native bin of the true mode — that is the contract this
+    golden pins (on flat/noisy maps the argmax is ill-defined by nature)."""
+    from detectron2.structures.keypoints import heatmaps_to_keypoints
+
+    rng = np.random.RandomState(17)
+    N, K, S = 12, 17, 56
+    boxes = np.zeros((N, 4), np.float32)
+    boxes[:, 0] = rng.uniform(0, 60, N)
+    boxes[:, 1] = rng.uniform(0, 60, N)
+    # half the rois LARGER than the heatmap (the reference then upsamples and
+    # peak amplitudes survive — where prob values are comparable), half
+    # smaller (reference downsamples; only positions are comparable there)
+    boxes[: N // 2, 2] = boxes[: N // 2, 0] + rng.uniform(60, 120, N // 2)
+    boxes[: N // 2, 3] = boxes[: N // 2, 1] + rng.uniform(60, 120, N // 2)
+    boxes[N // 2 :, 2] = boxes[N // 2 :, 0] + rng.uniform(15, 55, N - N // 2)
+    boxes[N // 2 :, 3] = boxes[N // 2 :, 1] + rng.uniform(15, 55, N - N // 2)
+    yy, xx = np.mgrid[0:S, 0:S].astype(np.float32)
+    maps = np.zeros((N, K, S, S), np.float32)
+    centers = rng.uniform(4, S - 4, (N, K, 2)).astype(np.float32)
+    sig = rng.uniform(1.5, 4.0, (N, K)).astype(np.float32)
+    for i in range(N):
+        for k in range(K):
+            cx, cy = centers[i, k]
+            maps[i, k] = 6.0 * np.exp(
+                -((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sig[i, k] ** 2)
+            )
+    maps += 0.05 * rng.randn(N, K, S, S).astype(np.float32)
+    ref = heatmaps_to_keypoints(
+        torch.from_numpy(maps), torch.from_numpy(boxes)
+    ).numpy()  # (N, K, 4) = x, y, logit, prob
+    np.savez(os.path.join(OUT_DIR, "kp_decode.npz"), maps=maps, boxes=boxes, ref=ref)
+    print("kp_decode.npz:", ref.shape)
+
+
 def main():
     install_stubs()
     gen_box2box()
@@ -889,6 +999,8 @@ def main():
     gen_model_e2e("retinanet")
     gen_model_e2e("faster_rcnn")
     gen_model_e2e("mask_rcnn")
+    gen_model_e2e("keypoint_rcnn")
+    gen_kp_decode()
 
 
 if __name__ == "__main__":

@@ -314,6 +314,7 @@ def _e2e_cfg(which):
         "retinanet": "configs/COCO-Detection/retinanet_R_50_FPN_1x.yaml",
         "faster_rcnn": "configs/COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml",
         "mask_rcnn": "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
+        "keypoint_rcnn": "configs/COCO-Keypoints/keypoint_rcnn_R_50_FPN_1x.yaml",
     }[which]
     z = _load("%s_e2e.npz" % which)
     cfg = get_cfg()
@@ -355,6 +356,11 @@ def _e2e_batch(z):
     }
     if "gt_masks" in z:
         batch["gt_masks"] = z["gt_masks"].astype(np.float32)  # (B, G, H, W)
+    if "gt_keypoints" in z:
+        batch["gt_keypoints"] = z["gt_keypoints"].astype(np.float32)  # (B, G, 17, 3)
+        # keypoint configs train a single (person) class; the torch capture
+        # zeroed the gt classes the same way (gen_goldens._e2e_batched_inputs)
+        batch["gt_classes"] = np.zeros_like(batch["gt_classes"])
     return batch
 
 
@@ -514,3 +520,107 @@ def test_mask_rcnn_model_e2e_golden():
         diffs = [float(np.abs(ref_masks[r] - masks[j]).max()) for r, j in pairs]
         assert np.median(diffs) < 5e-3, np.median(diffs)
         assert max(diffs) < 3e-2, max(diffs)
+
+
+@pytest.mark.slow
+def test_keypoint_rcnn_model_e2e_golden():
+    """Composed Keypoint R-CNN parity: same weights in both frameworks must
+    give the same losses (incl. loss_keypoint: softmax-CE over heatmap bins —
+    a tight pin on the conv tower + score_lowres deconv + 2x upsample) and
+    near-identical decoded keypoints.
+
+    Keypoint x/y gets a PIXEL tolerance rather than a float one: the reference
+    decodes by bicubic-upsampling each heatmap to the per-roi ceil(w)xceil(h)
+    size (data-dependent shapes, keypoints.py:142-218) while fsgd_tpu uses a
+    static 4x cubic upsample — the argmax lands within a fraction of one
+    heatmap bin (~box/56 px) but not bit-identically."""
+    cfg, z = _e2e_cfg("keypoint_rcnn")
+    model, params = _e2e_load_params(cfg, "keypoint_rcnn")
+    batch = {k: np.asarray(v) for k, v in _e2e_batch(z).items()}
+
+    import jax
+
+    _, losses = model.loss_fn(params, batch, jax.random.PRNGKey(0))
+    for key in ("loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg",
+                "loss_keypoint"):
+        np.testing.assert_allclose(
+            float(losses[key]), float(z[key]), rtol=2e-3, atol=1e-5, err_msg=key
+        )
+
+    import jax.numpy as jnp
+
+    dets = model.inference_fn(params, batch)
+    # Recompute the raw keypoint heatmap LOGITS for the final boxes (the same
+    # two lines roi_heads.forward_inference runs) — the fixture heads produce
+    # nearly-flat heatmaps whose decoded argmax is numerically unstable across
+    # frameworks, so the logits are the meaningful per-detection pin (the
+    # decode convention itself is pinned by test_kp_decode_golden on peaked
+    # maps).
+    b = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, feats_d = model._features(params, b)
+    rh = model.roi_heads
+    feats = [feats_d[f] for f in rh.in_features]
+    pooled = rh.keypoint_pooler(feats, jnp.asarray(dets["boxes"]))
+    nb, nd = np.asarray(dets["boxes"]).shape[:2]
+    kp_logits = np.asarray(
+        rh.keypoint_head_module.apply(
+            {"params": params["roi_heads"]["keypoint_head"]},
+            pooled.reshape(nb * nd, *pooled.shape[2:]),
+        )
+    )  # (B*D, S, S, K)
+    s = kp_logits.shape[1]
+    kp_logits = kp_logits.reshape(nb, nd, s, s, -1)
+
+    for i in range(2):
+        valid = np.asarray(dets["valid"][i])
+        boxes = np.asarray(dets["boxes"][i])[valid]
+        scores = np.asarray(dets["scores"][i])[valid]
+        classes = np.asarray(dets["classes"][i])[valid]
+        logits = kp_logits[i][valid]  # (N, S, S, K)
+        ref_n = len(z["det_scores_%d" % i])
+        assert abs(len(scores) - ref_n) <= max(2, ref_n // 20), (len(scores), ref_n)
+        pairs = _match_detections(
+            z["det_boxes_%d" % i], z["det_scores_%d" % i], z["det_classes_%d" % i],
+            boxes, scores, classes,
+        )
+        assert len(pairs) >= ref_n * 0.97, (len(pairs), ref_n)
+        ref_logits = z["det_kp_logits_%d" % i]  # (N_ref, K, S, S)
+        diffs = [
+            float(np.abs(ref_logits[r] - logits[j].transpose(2, 0, 1)).max())
+            for r, j in pairs
+        ]
+        assert np.median(diffs) < 5e-3, np.median(diffs)
+        assert max(diffs) < 5e-2, max(diffs)
+
+
+@pytest.mark.slow
+def test_kp_decode_golden():
+    """heatmaps_to_keypoints parity on PEAKED maps: both frameworks must put
+    each keypoint within a fraction of one native heatmap bin of the
+    reference, with matching probs.  (The reference bicubic-upsamples each map
+    to the per-roi ceil size — data-dependent shapes; fsgd_tpu uses a static
+    4x cubic upsample, so positions agree sub-bin rather than bitwise.)"""
+    import jax.numpy as jnp
+
+    from fsgd_tpu.structures.keypoints import heatmaps_to_keypoints
+
+    z = _load("kp_decode.npz")
+    maps, boxes, ref = z["maps"], z["boxes"], z["ref"]
+    mine = np.asarray(heatmaps_to_keypoints(jnp.asarray(maps), jnp.asarray(boxes)))
+    # The reference argmaxes on a ceil(h)xceil(w) ROI-PIXEL grid (its own
+    # granularity is ~1 px regardless of box size); fsgd_tpu argmaxes on a
+    # fixed 4x-upsampled grid.  Verified unbiased (mean signed error ~0.06
+    # bin); each keypoint must land within ~1 roi-pixel of the reference.
+    ex = np.abs(ref[:, :, 0] - mine[:, :, 0])  # px
+    ey = np.abs(ref[:, :, 1] - mine[:, :, 1])
+    assert np.median(ex) < 0.6 and np.median(ey) < 0.6, (np.median(ex), np.median(ey))
+    assert ex.max() < 1.6 and ey.max() < 1.6, (ex.max(), ey.max())
+    # prob = exp(peak logit) normalized at pool resolution; the interpolated
+    # peak VALUE depends on the resampling kernel (torch bicubic a=-0.75 at
+    # ceil-size — often a DOWNsample that smooths the peak — vs static 4x
+    # cubic), so amplitudes agree to ~20% while the per-map score ORDERING,
+    # which is what keypoint confidence consumes, must track tightly.
+    np.testing.assert_allclose(mine[:, :, 3], ref[:, :, 3], rtol=0.35, atol=2e-3)
+    a, b = mine[:, :, 3].ravel(), ref[:, :, 3].ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.98, corr

@@ -130,8 +130,10 @@ def main():
         "COCO-Detection/rpn_R_50_FPN_1x.yaml",
         {
             "_BASE_": "../Base-RCNN-FPN.yaml",
+            # FPN keeps Base-RCNN-FPN's PRE_NMS_TOPK_TEST 1000 (only the C4
+            # variant raises it to 12000, matching the reference yamls)
             "MODEL": {"META_ARCHITECTURE": "ProposalNetwork", "MASK_ON": False, **resnet(50),
-                      "RPN": {"PRE_NMS_TOPK_TEST": 12000, "POST_NMS_TOPK_TEST": 2000}},
+                      "RPN": {"POST_NMS_TOPK_TEST": 2000}},
         },
     )
     w(
@@ -143,15 +145,20 @@ def main():
         "COCO-Detection/fast_rcnn_R_50_FPN_1x.yaml",
         {"_BASE_": "../Base-RCNN-FPN.yaml", "MODEL": {"MASK_ON": False, "LOAD_PROPOSALS": True, **resnet(50),
                                                        "PROPOSAL_GENERATOR": {"NAME": "PrecomputedProposals"}},
-         "DATASETS": {"PROPOSAL_FILES_TRAIN": ["coco_2017_train_box_proposals.pkl"],
-                       "PROPOSAL_FILES_TEST": ["coco_2017_val_box_proposals.pkl"],
+         "DATASETS": {"PROPOSAL_FILES_TRAIN":
+                       ["detectron2://COCO-Detection/rpn_R_50_FPN_1x/137258492/coco_2017_train_box_proposals_21bc3a.pkl"],
+                       "PROPOSAL_FILES_TEST":
+                       ["detectron2://COCO-Detection/rpn_R_50_FPN_1x/137258492/coco_2017_val_box_proposals_ee0dad.pkl"],
                        "TRAIN": ["coco_2017_train"], "TEST": ["coco_2017_val"]}},
     )
     w(
         "COCO-Detection/faster_rcnn_X_101_32x8d_FPN_3x.yaml",
         {"_BASE_": "../Base-RCNN-FPN.yaml",
-         "MODEL": {"MASK_ON": False, "RESNETS": {"DEPTH": 101, "NUM_GROUPS": 32, "WIDTH_PER_GROUP": 8,
-                                                   "STRIDE_IN_1X1": False}},
+         "MODEL": {"MASK_ON": False,
+                    "WEIGHTS": "detectron2://ImageNetPretrained/FAIR/X-101-32x8d.pkl",
+                    "PIXEL_STD": [57.375, 57.12, 58.395],  # C2 ResNeXt stats
+                    "RESNETS": {"DEPTH": 101, "NUM_GROUPS": 32, "WIDTH_PER_GROUP": 8,
+                                 "STRIDE_IN_1X1": False}},
          "SOLVER": sched(3)},
     )
 
@@ -167,17 +174,23 @@ def main():
     w("COCO-InstanceSegmentation/mask_rcnn_R_50_C4_1x.yaml",
       {"_BASE_": "../Base-RCNN-C4.yaml", "MODEL": {"MASK_ON": True, **resnet(50)}})
 
-    # COCO-Keypoints
-    kp_common = {
+    # COCO-Keypoints (reference Base-Keypoint-RCNN-FPN.yaml: KEYPOINT_ON,
+    # NUM_CLASSES 1, ROI_BOX_HEAD.SMOOTH_L1_BETA 0.5, RPN.POST_NMS_TOPK_TRAIN
+    # 1500 — and NO RPN.SMOOTH_L1_BETA override: that 0.2 belongs only to the
+    # quick_schedules / Detectron1-Comparisons keypoint configs)
+    w("COCO-Keypoints/Base-Keypoint-RCNN-FPN.yaml", {
+        "_BASE_": "../Base-RCNN-FPN.yaml",
         "MODEL": {"KEYPOINT_ON": True, "ROI_HEADS": {"NUM_CLASSES": 1},
-                   "RPN": {"SMOOTH_L1_BETA": 0.2},
-                   "ROI_BOX_HEAD": {"SMOOTH_L1_BETA": 0.5}},
+                   "ROI_BOX_HEAD": {"SMOOTH_L1_BETA": 0.5},
+                   "RPN": {"POST_NMS_TOPK_TRAIN": 1500}},
         "DATASETS": {"TRAIN": ["keypoints_coco_2017_train"], "TEST": ["keypoints_coco_2017_val"]},
-    }
+    })
     for mult in (1, 3):
-        cfg = {"_BASE_": "../Base-RCNN-FPN.yaml", **kp_common, "SOLVER": sched(mult)}
-        cfg["MODEL"] = {**kp_common["MODEL"], **resnet(50)}
-        w("COCO-Keypoints/keypoint_rcnn_R_50_FPN_{}x.yaml".format(mult), cfg)
+        w("COCO-Keypoints/keypoint_rcnn_R_50_FPN_{}x.yaml".format(mult),
+          {"_BASE_": "Base-Keypoint-RCNN-FPN.yaml",
+           "MODEL": {"WEIGHTS": "detectron2://ImageNetPretrained/MSRA/R-50.pkl",
+                      "RESNETS": {"DEPTH": 50}},
+           "SOLVER": sched(mult)})
 
     # COCO-PanopticSegmentation
     pan = {
@@ -221,30 +234,80 @@ def main():
                   "MIN_SIZE_TEST": 800},
        "SOLVER": {"STEPS": [12000, 16000], "MAX_ITER": 18000, "WARMUP_ITERS": 100}})
 
-    # quick_schedules (instant + inference goldens)
+    # quick_schedules (instant + inference goldens) — each row mirrors the
+    # reference file exactly: (inference base, zoo weights, test dataset,
+    # EXPECTED_RESULTS, instant base + extra MODEL keys, instant datasets).
+    # The reference's instant tests run batch 4 / 2 workers; the inference
+    # gates pin the published APs on coco_2017_val_100 (+variants).
+    R50 = "detectron2://ImageNetPretrained/MSRA/R-50.pkl"
+    val100 = ["coco_2017_val_100"]
     golden = {
-        "retinanet_R_50_FPN": ("../COCO-Detection/retinanet_R_50_FPN_1x.yaml",
-                                [["bbox", "AP", 44.36, 0.02]]),
-        "mask_rcnn_R_50_FPN": ("../COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
-                                [["bbox", "AP", 47.34, 0.02], ["segm", "AP", 42.67, 0.02]]),
-        "fast_rcnn_R_50_FPN": ("../COCO-Detection/fast_rcnn_R_50_FPN_1x.yaml",
-                                [["bbox", "AP", 45.70, 0.02]]),
-        "keypoint_rcnn_R_50_FPN": ("../COCO-Keypoints/keypoint_rcnn_R_50_FPN_1x.yaml",
-                                    [["bbox", "AP", 52.47, 0.02], ["keypoints", "AP", 67.36, 0.02]]),
-        "panoptic_fpn_R_50": ("../COCO-PanopticSegmentation/panoptic_fpn_R_50_1x.yaml",
-                               [["bbox", "AP", 46.47, 0.02], ["segm", "AP", 43.39, 0.02]]),
-        "rpn_R_50_FPN": ("../COCO-Detection/rpn_R_50_FPN_1x.yaml",
-                          [["box_proposals", "AR@1000", 58.16, 0.02]]),
+        "retinanet_R_50_FPN": dict(
+            inf_base="../COCO-Detection/retinanet_R_50_FPN_3x.yaml",
+            weights="detectron2://COCO-Detection/retinanet_R_50_FPN_3x/137849486/model_final_4cafe0.pkl",
+            test=val100, expected=[["bbox", "AP", 44.36, 0.02]],
+            ins_base="../COCO-Detection/retinanet_R_50_FPN_1x.yaml", ins_model={}),
+        "mask_rcnn_R_50_FPN": dict(
+            inf_base="../COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_3x.yaml",
+            weights="detectron2://COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_3x/137849600/model_final_f10217.pkl",
+            test=val100,
+            expected=[["bbox", "AP", 47.34, 0.02], ["segm", "AP", 42.67, 0.02]],
+            inf_test_aug={"ENABLED": True, "MIN_SIZES": [400, 500]},
+            ins_base="../Base-RCNN-FPN.yaml", ins_model={"MASK_ON": True}),
+        "fast_rcnn_R_50_FPN": dict(
+            inf_base="../COCO-Detection/fast_rcnn_R_50_FPN_1x.yaml",
+            weights="detectron2://COCO-Detection/fast_rcnn_R_50_FPN_1x/137635226/model_final_e5f7ce.pkl",
+            test=val100, expected=[["bbox", "AP", 45.70, 0.02]],
+            ins_base="../COCO-Detection/fast_rcnn_R_50_FPN_1x.yaml", ins_model={},
+            ins_datasets={
+                "TRAIN": val100,
+                "PROPOSAL_FILES_TRAIN": ["detectron2://COCO-Detection/rpn_R_50_FPN_1x/137258492/coco_2017_val_box_proposals_ee0dad.pkl"],
+                "TEST": val100,
+                "PROPOSAL_FILES_TEST": ["detectron2://COCO-Detection/rpn_R_50_FPN_1x/137258492/coco_2017_val_box_proposals_ee0dad.pkl"],
+            }),
+        "keypoint_rcnn_R_50_FPN": dict(
+            inf_base="../COCO-Keypoints/keypoint_rcnn_R_50_FPN_3x.yaml",
+            weights="detectron2://COCO-Keypoints/keypoint_rcnn_R_50_FPN_3x/137849621/model_final_a6e10b.pkl",
+            test=["keypoints_coco_2017_val_100"],
+            expected=[["bbox", "AP", 52.47, 0.02], ["keypoints", "AP", 67.36, 0.02]],
+            ins_base="../Base-RCNN-FPN.yaml", ins_model={"KEYPOINT_ON": True},
+            ins_datasets={"TRAIN": ["keypoints_coco_2017_val_100"],
+                           "TEST": ["keypoints_coco_2017_val_100"]}),
+        "panoptic_fpn_R_50": dict(
+            inf_base="../COCO-PanopticSegmentation/panoptic_fpn_R_50_3x.yaml",
+            weights="detectron2://COCO-PanopticSegmentation/panoptic_fpn_R_50_3x/139514569/model_final_c10459.pkl",
+            test=["coco_2017_val_100_panoptic_separated"],
+            expected=[["bbox", "AP", 46.47, 0.02], ["segm", "AP", 43.39, 0.02],
+                       ["sem_seg", "mIoU", 42.55, 0.02], ["panoptic_seg", "PQ", 38.99, 0.02]],
+            ins_base="../Base-RCNN-FPN.yaml",
+            ins_model={"META_ARCHITECTURE": "PanopticFPN", "MASK_ON": True,
+                        "RESNETS": {"DEPTH": 50}, "SEM_SEG_HEAD": {"LOSS_WEIGHT": 0.5}},
+            ins_datasets={"TRAIN": ["coco_2017_val_100_panoptic_separated"],
+                           "TEST": ["coco_2017_val_100_panoptic_separated"]}),
+        "rpn_R_50_FPN": dict(
+            inf_base="../COCO-Detection/rpn_R_50_FPN_1x.yaml",
+            weights="detectron2://COCO-Detection/rpn_R_50_FPN_1x/137258492/model_final_02ce48.pkl",
+            test=val100, expected=[["box_proposals", "AR@1000", 58.16, 0.02]],
+            ins_base="../COCO-Detection/rpn_R_50_FPN_1x.yaml", ins_model={}),
     }
-    for name, (base, expected) in golden.items():
-        w("quick_schedules/{}_inference_acc_test.yaml".format(name),
-          {"_BASE_": base,
-           "DATASETS": {"TEST": ["coco_2017_val_100"]},
-           "TEST": {"EXPECTED_RESULTS": expected}})
+    for name, g in golden.items():
+        inf = {"_BASE_": g["inf_base"],
+               "MODEL": {"WEIGHTS": g["weights"]},
+               "DATASETS": {"TEST": g["test"]},
+               "TEST": {"EXPECTED_RESULTS": g["expected"]},
+               # exact-sort decode when verifying the published APs
+               "TPU": {"APPROX_TOPK": False}}
+        if "inf_test_aug" in g:
+            inf["TEST"]["AUG"] = g["inf_test_aug"]
+        w("quick_schedules/{}_inference_acc_test.yaml".format(name), inf)
         w("quick_schedules/{}_instant_test.yaml".format(name),
-          {"_BASE_": base,
-           "DATASETS": {"TRAIN": ["coco_2017_val_100"], "TEST": ["coco_2017_val_100"]},
-           "SOLVER": {"IMS_PER_BATCH": 8, "BASE_LR": 0.005, "STEPS": [30], "MAX_ITER": 40}})
+          {"_BASE_": g["ins_base"],
+           "MODEL": {"WEIGHTS": R50, **g["ins_model"]},
+           "DATASETS": g.get("ins_datasets",
+                              {"TRAIN": val100, "TEST": val100}),
+           "SOLVER": {"BASE_LR": 0.005, "STEPS": [30], "MAX_ITER": 40,
+                       "IMS_PER_BATCH": 4},
+           "DATALOADER": {"NUM_WORKERS": 2}})
 
     # ImbalanceDetection configs (fork family)
     imb_base = {
