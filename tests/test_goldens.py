@@ -595,11 +595,13 @@ def test_keypoint_rcnn_model_e2e_golden():
 
 @pytest.mark.slow
 def test_kp_decode_golden():
-    """heatmaps_to_keypoints parity on PEAKED maps: both frameworks must put
-    each keypoint within a fraction of one native heatmap bin of the
-    reference, with matching probs.  (The reference bicubic-upsamples each map
-    to the per-roi ceil size — data-dependent shapes; fsgd_tpu uses a static
-    4x cubic upsample, so positions agree sub-bin rather than bitwise.)"""
+    """heatmaps_to_keypoints parity on PEAKED maps.
+
+    fsgd_tpu evaluates the reference's torch-bicubic interpolant (a=-0.75) at
+    the reference's EXACT per-ROI ceil-grid sample phases via a static
+    windowed refinement (structures/keypoints.py), so positions must match
+    bitwise and logits/probs to float precision — in both the upsampling
+    (ROI larger than the heatmap) and downsampling (smaller) regimes."""
     import jax.numpy as jnp
 
     from fsgd_tpu.structures.keypoints import heatmaps_to_keypoints
@@ -607,20 +609,7 @@ def test_kp_decode_golden():
     z = _load("kp_decode.npz")
     maps, boxes, ref = z["maps"], z["boxes"], z["ref"]
     mine = np.asarray(heatmaps_to_keypoints(jnp.asarray(maps), jnp.asarray(boxes)))
-    # The reference argmaxes on a ceil(h)xceil(w) ROI-PIXEL grid (its own
-    # granularity is ~1 px regardless of box size); fsgd_tpu argmaxes on a
-    # fixed 4x-upsampled grid.  Verified unbiased (mean signed error ~0.06
-    # bin); each keypoint must land within ~1 roi-pixel of the reference.
-    ex = np.abs(ref[:, :, 0] - mine[:, :, 0])  # px
-    ey = np.abs(ref[:, :, 1] - mine[:, :, 1])
-    assert np.median(ex) < 0.6 and np.median(ey) < 0.6, (np.median(ex), np.median(ey))
-    assert ex.max() < 1.6 and ey.max() < 1.6, (ex.max(), ey.max())
-    # prob = exp(peak logit) normalized at pool resolution; the interpolated
-    # peak VALUE depends on the resampling kernel (torch bicubic a=-0.75 at
-    # ceil-size — often a DOWNsample that smooths the peak — vs static 4x
-    # cubic), so amplitudes agree to ~20% while the per-map score ORDERING,
-    # which is what keypoint confidence consumes, must track tightly.
-    np.testing.assert_allclose(mine[:, :, 3], ref[:, :, 3], rtol=0.35, atol=2e-3)
-    a, b = mine[:, :, 3].ravel(), ref[:, :, 3].ravel()
-    corr = np.corrcoef(a, b)[0, 1]
-    assert corr > 0.98, corr
+    np.testing.assert_allclose(mine[:, :, 0], ref[:, :, 0], atol=1e-3)  # x px
+    np.testing.assert_allclose(mine[:, :, 1], ref[:, :, 1], atol=1e-3)  # y px
+    np.testing.assert_allclose(mine[:, :, 2], ref[:, :, 2], rtol=0, atol=1e-4)
+    np.testing.assert_allclose(mine[:, :, 3], ref[:, :, 3], rtol=1e-4, atol=1e-7)
