@@ -281,15 +281,32 @@ class LayeredUnetGambler(GamblerBase):
         pre = self.pre_pred.apply({"params": params["pre_pred"]}, scaled)
         decoder = self.unet.apply({"params": params["unet"]}, pre, im)
         betting_map = self.post.apply({"params": params["post"]}, decoder)  # [p3..p7]
+        # the reference masks the bets IN PLACE inside gambler_loss
+        # (gambler_heads.py:566-572), so its returned betting_map is the
+        # masked one — mirror that for trainer metrics/visualization parity
+        n = logits_levels[0].shape[0]
+        hs = [int(p.shape[1]) for p in logits_levels]
+        ws = [int(p.shape[2]) for p in logits_levels]
+        a = logits_levels[0].shape[3] // self.num_classes
+        masked_bets = self._mask_bets(betting_map, mask, n, hs, ws, a)
 
         loss_dict, weights = self.gambler_loss(
-            logits_levels, betting_map, gt_classes, mask, detach_pred
+            logits_levels, masked_bets, gt_classes, mask, detach_pred, bets_pre_masked=True
         )
-        return loss_dict, weights, betting_map
+        return loss_dict, weights, masked_bets
 
     __call__ = forward
 
-    def gambler_loss(self, logits_levels, betting_map, gt_classes, mask, detach_pred):
+    def _mask_bets(self, betting_map, mask, n, hs, ws, a):
+        """Picky quality-mask applied to the bets (reference :560-572)."""
+        mask_levels = _split_loss_levels(mask.reshape(-1, 1).astype(jnp.float32), n, hs, ws, a, 1)
+        return [
+            w * m[..., 0] if w.shape[-1] == a else w * jnp.max(m[..., 0], axis=3, keepdims=True)
+            for w, m in zip(betting_map, mask_levels)
+        ]
+
+    def gambler_loss(self, logits_levels, betting_map, gt_classes, mask, detach_pred,
+                     bets_pre_masked=False):
         assert self.gambler_output in ("L_BAHW", "L_B1HW", "L_BAHW_extendtobatch"), (
             "layered gambler supports L_BAHW / L_B1HW / L_BAHW_extendtobatch"
         )
@@ -300,12 +317,9 @@ class LayeredUnetGambler(GamblerBase):
 
         valid_loss, num_fg, num_all = self._per_anchor_loss(logits_levels, gt_classes)
 
-        # mask bets with the picky quality mask (reference :560-572)
-        mask_levels = _split_loss_levels(mask.reshape(-1, 1).astype(jnp.float32), n, hs, ws, a, 1)
-        masked_bets = [
-            w * m[..., 0] if w.shape[-1] == a else w * jnp.max(m[..., 0], axis=3, keepdims=True)
-            for w, m in zip(betting_map, mask_levels)
-        ]
+        masked_bets = (
+            betting_map if bets_pre_masked else self._mask_bets(betting_map, mask, n, hs, ws, a)
+        )
 
         gambler_loss, nakhw_loss, weights = calc_gambler_loss(
             valid_loss,
@@ -357,8 +371,10 @@ class UnetGambler(GamblerBase):
     def preprocess_input(self, logits_levels, images):
         """Single-level mode: stride-16 image downsample + scaled sigmoid
         (reference :615-630)."""
+        from .unet import torch_bilinear_downsample
+
         n, h, w, c = images.shape
-        im = jax.image.resize(images, (n, h // 16, w // 16, c), method="bilinear")
+        im = torch_bilinear_downsample(images, 16)  # F.interpolate parity
         sig = jax.nn.sigmoid(logits_levels[0])
         if self.data_range == [-0.5, 0.5]:
             scaled = sig - 0.5

@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .unet import DoubleConv, Down
+from .unet import DoubleConv, Down, torch_bilinear_downsample
 
 
 class PreGamblerPredictions(nn.Module):
@@ -76,8 +76,9 @@ class PreGamblerImage(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         if self.image_mode == "downsample":
-            n, h, w, c = images.shape
-            return jax.image.resize(images, (n, h // 8, w // 8, c), method="bilinear")
+            # reference F.interpolate(scale_factor=1/8): plain bilinear
+            # sampling, NOT the antialiased jax.image.resize
+            return torch_bilinear_downsample(images, 8)
         if self.image_mode == "conv":
             x = DoubleConv(8, self.dtype, name="dc")(images)
             x = Down(16, self.dtype, name="d1")(x)

@@ -59,6 +59,46 @@ def _maxpool2(x):
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
+def _linear_taps(pos: jnp.ndarray, size: int, dtype):
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, size - 1)
+    hi = jnp.clip(lo + 1, 0, size - 1)
+    t = (pos - jnp.floor(pos)).astype(dtype)
+    return lo, hi, t
+
+
+def torch_bilinear_downsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """``F.interpolate(scale_factor=1/stride, mode='bilinear')`` parity
+    (align_corners=False, NO antialias): sample the bilinear interpolant at
+    (i + 0.5) * stride - 0.5 — unlike ``jax.image.resize``, which applies an
+    antialiasing triangle filter when downsampling."""
+    n, h, w, c = x.shape
+    oh, ow = h // stride, w // stride
+    ylo, yhi, ty = _linear_taps((jnp.arange(oh) + 0.5) * stride - 0.5, h, x.dtype)
+    xlo, xhi, tx = _linear_taps((jnp.arange(ow) + 0.5) * stride - 0.5, w, x.dtype)
+    top = x[:, ylo] * (1 - ty)[None, :, None, None] + x[:, yhi] * ty[None, :, None, None]
+    return (
+        top[:, :, xlo] * (1 - tx)[None, None, :, None]
+        + top[:, :, xhi] * tx[None, None, :, None]
+    )
+
+
+def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """``nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True)``
+    parity: out position i maps to source i * (h-1) / (2h-1)."""
+    n, h, w, c = x.shape
+    if h == 1 and w == 1:
+        return jnp.broadcast_to(x, (n, 2, 2, c))
+    py = jnp.arange(2 * h) * ((h - 1) / max(2 * h - 1, 1))
+    px = jnp.arange(2 * w) * ((w - 1) / max(2 * w - 1, 1))
+    ylo, yhi, ty = _linear_taps(py, h, x.dtype)
+    xlo, xhi, tx = _linear_taps(px, w, x.dtype)
+    top = x[:, ylo] * (1 - ty)[None, :, None, None] + x[:, yhi] * ty[None, :, None, None]
+    return (
+        top[:, :, xlo] * (1 - tx)[None, None, :, None]
+        + top[:, :, xhi] * tx[None, None, :, None]
+    )
+
+
 def _pad_or_crop_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Symmetrically pad (or crop) NHWC spatial dims to (h, w)
     (reference's F.pad with possibly-negative diffs)."""
@@ -116,8 +156,7 @@ class Up(nn.Module):
     @nn.compact
     def __call__(self, x1, x2):
         if self.bilinear:
-            n, h, w, c = x1.shape
-            x1 = jax.image.resize(x1, (n, h * 2, w * 2, c), method="bilinear")
+            x1 = upsample2x_align_corners(x1)  # reference: align_corners=True
         else:
             x1 = nn.ConvTranspose(
                 x1.shape[-1] // 2, (2, 2), strides=(2, 2),

@@ -990,6 +990,170 @@ def gen_kp_decode():
     print("kp_decode.npz:", ref.shape)
 
 
+def gen_gambler():
+    """Gambler numerics pinned against the reference's pure-torch code
+    (ImbalanceDetection/imbalancedetection/gambler_heads.py:104-253 for the
+    loss functions, :431-630 for the composed LayeredUnetGambler).
+
+    Fixtures:
+      gambler_loss.npz    — calc_cls_loss (all modes) + calc_gambler_loss
+                            over every layout code (L_BAHW / L_B1HW /
+                            L_BAHW_extendtobatch / B1HW / BCHW / BAHW) +
+                            get_loss_upper_bound
+      gambler_e2e.npz     — composed LayeredUnetGambler forward: loss dict,
+                            masked betting maps, flattened weights, and the
+                            D-phase gradient d(gambler_loss)/d(logits) plus
+                            two G-phase parameter gradients
+      gambler_weights.pkl — the torch state_dict (fp16 roundtrip) the capture
+                            used
+    """
+    import pickle
+
+    sys.path.insert(0, os.path.join(REF, "ImbalanceDetection"))
+    from detectron2.config import get_cfg, set_global_cfg
+    from detectron2.utils.events import EventStorage
+    from imbalancedetection.config import add_gambler_config
+    from imbalancedetection import gambler_heads as GH
+
+    rng = np.random.RandomState(7)
+    N, K, A = 2, 4, 3
+    HS = [32, 16, 8, 4, 2]
+    R = sum(h * h * A for h in HS)
+
+    cfg = get_cfg()
+    add_gambler_config(cfg)
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.GAMBLER_HEAD.NAME = "LayeredUnetGambler"
+    cfg.MODEL.GAMBLER_HEAD.GAMBLER_OUTPUT = "L_BAHW"
+    cfg.MODEL.GAMBLER_HEAD.NUM_CLASSES = K
+    cfg.MODEL.GAMBLER_HEAD.GAMBLER_IN_CHANNELS = A * K
+    cfg.MODEL.GAMBLER_HEAD.GAMBLER_OUT_CHANNELS = A
+    cfg.MODEL.GAMBLER_HEAD.IN_LAYERS = HS
+    cfg.MODEL.GAMBLER_HEAD.FIXED_CHANNEL = 16
+    cfg.MODEL.GAMBLER_HEAD.BILINEAR_UPSAMPLING = False  # UpCat: deconv only
+    cfg.MODEL.GAMBLER_HEAD.INIT = "default"
+    cfg.MODEL.GAMBLER_HEAD.GAMBLER_TEMPERATURE = 0.03
+    cfg.MODEL.GAMBLER_HEAD.GAMBLER_LOSS_MODE = "sigmoid"
+    cfg.MODEL.RETINANET.NUM_CLASSES = K
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[16, 32, 64]]  # num_scale == A == 3
+    set_global_cfg(cfg)
+
+    out = {}
+
+    # ---- calc_cls_loss: every mode
+    pred = rng.randn(64, K).astype(np.float32) * 2
+    tgt = (rng.rand(64, K) < 0.25).astype(np.float32)
+    out["cls_pred"], out["cls_tgt"] = pred, tgt
+    for name, mode, alpha, gamma in (
+        ("focal_a", "focal", 0.25, 2.0),
+        ("focal_na", "focal", -1.0, 2.0),
+        ("sigmoid", "sigmoid", -1.0, 2.0),
+    ):
+        out["cls_loss_" + name] = GH.calc_cls_loss(
+            torch.from_numpy(pred), torch.from_numpy(tgt), mode, alpha, gamma
+        ).numpy()
+
+    # ---- calc_gambler_loss: layered codes (5 levels)
+    valid_loss = np.abs(rng.randn(N * R, K)).astype(np.float32)
+    out["g_valid_loss"] = valid_loss
+    gh = GH.GamblerHeads(cfg)
+    for code, wch in (("L_BAHW", A), ("L_B1HW", 1), ("L_BAHW_extendtobatch", A)):
+        w_levels = [
+            np.abs(rng.randn(N, wch, h, h)).astype(np.float32) for h in HS
+        ]
+        cfg.MODEL.GAMBLER_HEAD.GAMBLER_OUTPUT = code
+        for norm in (True, False):
+            tag = "%s_%s" % (code, "n" if norm else "un")
+            gl, nakhw, wflat = GH.calc_gambler_loss(
+                torch.from_numpy(valid_loss.copy()),
+                [torch.from_numpy(w.copy()) for w in w_levels],
+                N, [h for h in HS], [h for h in HS], HS, gh,
+                normalize_w=norm, num_classes=K, gambler_output=code, gamma=1.0,
+            )
+            out["gl_%s" % tag] = gl.detach().numpy()
+            out["gw_%s" % tag] = wflat.detach().numpy()
+            for i, l in enumerate(nakhw):
+                out["gn_%s_%d" % (tag, i)] = l.numpy()
+        for i, w in enumerate(w_levels):
+            out["w_%s_%d" % (code, i)] = w
+    out["ub"] = GH.get_loss_upper_bound(
+        [torch.from_numpy(out["gn_L_BAHW_n_%d" % i]) for i in range(5)], N, 0.03, 2200.0
+    ).numpy()
+
+    # ---- calc_gambler_loss: single-level codes.  NOTE: the reference passes
+    # num_classes positionally into reverse_...'s num_scale slot here
+    # (gambler_heads.py:162-165), so these paths only reshape consistently
+    # when num_classes == 80 (the signature default) — pin them at K=80.
+    H1, K1 = 16, 80
+    vl1 = np.abs(rng.randn(N * H1 * H1 * A, K1)).astype(np.float32)
+    out["g1_valid_loss"] = vl1
+    for code, wch in (("B1HW", 1), ("BCHW", K1), ("BAHW", A)):
+        w = np.abs(rng.randn(N, wch, H1, H1)).astype(np.float32)
+        cfg.MODEL.GAMBLER_HEAD.GAMBLER_OUTPUT = code
+        gl, nakhw, wflat = GH.calc_gambler_loss(
+            torch.from_numpy(vl1.copy()), torch.from_numpy(w.copy()),
+            N, H1, H1, [H1], gh,
+            normalize_w=True, num_classes=K1, gambler_output=code, gamma=1.0,
+        )
+        out["gl1_%s" % code] = gl.detach().numpy()
+        out["gw1_%s" % code] = wflat.detach().numpy()
+        out["gn1_%s" % code] = nakhw[0].numpy()
+        out["w1_%s" % code] = w
+    cfg.MODEL.GAMBLER_HEAD.GAMBLER_OUTPUT = "L_BAHW"
+    np.savez(os.path.join(OUT_DIR, "gambler_loss.npz"), **out)
+    print("gambler_loss.npz:", len(out), "arrays")
+
+    # ---- composed LayeredUnetGambler (both loss modes share one weight set)
+    torch.manual_seed(3)
+    model = GH.LayeredUnetGambler(cfg)
+    model.train()
+    sd = {k: v.detach().numpy().astype(np.float16) for k, v in model.state_dict().items()}
+    model.load_state_dict(
+        {k: torch.from_numpy(v.astype(np.float32)) for k, v in sd.items()}, strict=True
+    )
+    with open(os.path.join(OUT_DIR, "gambler_weights.pkl"), "wb") as f:
+        pickle.dump(sd, f)
+
+    images = rng.uniform(-2, 2, (N, 3, 256, 256)).astype(np.float32)
+    logits = [(rng.randn(N, A * K, h, h) * 2).astype(np.float32) for h in HS]
+    gt = rng.randint(-1, K + 1, (N, R)).astype(np.int64)
+    mask = (rng.rand(N, R) > 0.3).astype(np.float32)
+
+    e2e = {"images": images, "gt_classes": gt, "mask": mask}
+    for i, l in enumerate(logits):
+        e2e["logits_%d" % i] = l
+
+    t_logits = [torch.from_numpy(l.copy()).requires_grad_(True) for l in logits]
+    with EventStorage():
+        loss_dict, weights, betting_map = model(
+            torch.from_numpy(images.copy()),
+            t_logits,
+            torch.from_numpy(gt.copy()),
+            torch.from_numpy(mask.copy()),
+            detach_pred=False,
+        )
+    e2e["gambler_loss"] = loss_dict["gambler_loss"].detach().numpy()
+    e2e["loss_before_weighting"] = loss_dict["loss_before_weighting"].detach().numpy()
+    e2e["lower_bound"] = (
+        -GH.get_loss_upper_bound(loss_dict["NAKHW_loss"], N, 0.03, 2200.0).numpy()
+    )
+    for i, l in enumerate(loss_dict["NAKHW_loss"]):
+        e2e["nakhw_%d" % i] = l.numpy()
+    e2e["weights_flat"] = weights.numpy()
+    for i, b in enumerate(betting_map):  # masked bets, [p3..p7]
+        e2e["bets_%d" % i] = b.detach().numpy()
+    loss_dict["gambler_loss"].backward()
+    for i, t in enumerate(t_logits):
+        e2e["dlogits_%d" % i] = t.grad.numpy()
+    e2e["dpost_p3_w"] = model.postgamblerpredictions.p3.weight.grad.numpy()
+    e2e["dpre_w"] = model.pregamblerpredictions.model[0].weight.grad.numpy()
+    np.savez(os.path.join(OUT_DIR, "gambler_e2e.npz"), **e2e)
+    print(
+        "gambler_e2e.npz: gambler_loss=%.6f before_weighting=%.6f"
+        % (float(e2e["gambler_loss"]), float(e2e["loss_before_weighting"]))
+    )
+
+
 def main():
     install_stubs()
     gen_box2box()
@@ -1001,6 +1165,7 @@ def main():
     gen_model_e2e("mask_rcnn")
     gen_model_e2e("keypoint_rcnn")
     gen_kp_decode()
+    gen_gambler()
 
 
 if __name__ == "__main__":
