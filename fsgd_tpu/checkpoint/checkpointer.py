@@ -30,6 +30,39 @@ def _to_numpy_tree(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _cached_download(url: str, logger) -> str:
+    """fvcore HTTPURLHandler semantics (the reference's literal download
+    branch, detectron2/checkpoint/catalog.py via PathManager): fetch the URL
+    into a local cache keyed by its path ($FSGD_CACHE, default
+    ~/.fsgd/cache) and reuse it on later loads.  On failure the URL is
+    returned unchanged, which the caller reports as a missing checkpoint."""
+    import shutil
+    from urllib.parse import urlparse
+    from urllib.request import urlopen
+
+    cache_root = os.environ.get("FSGD_CACHE", os.path.expanduser("~/.fsgd/cache"))
+    rel = urlparse(url).path.lstrip("/")
+    dst = os.path.join(cache_root, rel)
+    if os.path.isfile(dst):
+        logger.info("URL %s cached in %s", url, dst)
+        return dst
+    os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+    tmp = dst + ".tmp"
+    try:
+        with urlopen(url, timeout=30) as r, open(tmp, "wb") as f:
+            shutil.copyfileobj(r, f)
+        os.replace(tmp, dst)
+    except Exception as e:
+        logger.warning("Download failed for %s: %s", url, e)
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        return url
+    logger.info("Downloaded %s to %s", url, dst)
+    return dst
+
+
 class Checkpointer:
     def __init__(self, save_dir: str = "", *, save_to_disk: bool = True, **checkpointables):
         """
@@ -68,6 +101,8 @@ class Checkpointer:
             from .catalog import resolve_checkpoint_path
 
             path = resolve_checkpoint_path(path)
+        if path.startswith(("http://", "https://")):
+            path = _cached_download(path, self.logger)
         if not path or not os.path.isfile(path):
             self.logger.warning("No checkpoint found at %s; starting from scratch", path)
             return {}

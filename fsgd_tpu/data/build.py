@@ -19,6 +19,7 @@ from __future__ import annotations
 import itertools
 import logging
 import queue
+import random
 import threading
 from typing import Any, Dict, List, Optional
 
@@ -228,6 +229,8 @@ class TrainLoader:
         self.mask_stride = cfg.TPU.GT_MASK_STRIDE if cfg.MODEL.MASK_ON else None
         self.num_keypoints = cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS if cfg.MODEL.KEYPOINT_ON else None
         self.prefetch = prefetch
+        self._fallback_rng = random.Random(42)
+        self._fallback_candidates = set(range(len(dataset_dicts)))
 
     def _bucket_of(self, image) -> tuple:
         h, w = image.shape[:2]
@@ -238,18 +241,39 @@ class TrainLoader:
         extra GT (e.g. DensePose) override this to extend the contract."""
         return to_native_batch(mapped, self.max_gt, bucket, self.mask_stride, self.num_keypoints)
 
+    def _map_with_fallback(self, idx: int):
+        """Reference MapDataset.__getitem__ semantics (data/common.py:34-55):
+        when the mapper fails (raises or returns None), retry with random
+        OTHER indices drawn from a fallback pool that permanently quarantines
+        failing indices — one corrupt image can never kill training."""
+        retry_count = 0
+        cur_idx = int(idx)
+        while True:
+            try:
+                data = self.mapper(self.dataset_dicts[cur_idx])
+            except Exception:
+                logger.exception("Mapper raised on index %d", cur_idx)
+                data = None
+            if data is not None:
+                self._fallback_candidates.add(cur_idx)
+                return data
+            retry_count += 1
+            self._fallback_candidates.discard(cur_idx)
+            if not self._fallback_candidates:
+                raise RuntimeError("every dataset index failed to map")
+            cur_idx = self._fallback_rng.sample(sorted(self._fallback_candidates), 1)[0]
+            if retry_count >= 3:
+                logger.warning(
+                    "Failed to apply mapper for idx: %s, retry count: %d",
+                    idx, retry_count,
+                )
+
     def _gen(self):
         buffers: Dict[Any, List] = {}
         sampler_iter = iter(self.sampler)
         while True:
             idx = next(sampler_iter)
-            try:
-                mapped = self.mapper(self.dataset_dicts[idx])
-            except Exception:
-                logger.exception("Mapper failed on index %d; skipping", idx)
-                continue
-            if mapped is None:
-                continue
+            mapped = self._map_with_fallback(idx)
             key = self._bucket_of(mapped["image"]) if self.aspect_grouping else self.buckets[0]
             buffers.setdefault(key, []).append(mapped)
             if len(buffers[key]) == self.batch_size:

@@ -153,6 +153,39 @@ class TestCOCOLoading:
         assert batch["gt_masks"].shape == (2, 8, 24, 24)  # stride 4
         assert batch["gt_masks"].sum() > 0
 
+    def test_train_loader_mapper_failure_fallback(self, fake_dataset):
+        """Reference data/common.py:34-55 semantics: a failing index is
+        quarantined and replaced with a random other index — one corrupt
+        image never kills training."""
+        name, _, _ = fake_dataset
+        cfg = get_cfg()
+        cfg.DATASETS.TRAIN = (name,)
+        cfg.SOLVER.IMS_PER_BATCH = 2
+        cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+        cfg.INPUT.MAX_SIZE_TRAIN = 96
+        cfg.TPU.IMAGE_BUCKETS = [[96, 96]]
+        cfg.TPU.MAX_GT_PER_IMAGE = 8
+        cfg.TPU.PREFETCH = 0
+        loader = build_detection_train_loader(cfg)
+
+        real_mapper = loader.mapper
+        calls = {"bad": 0}
+
+        def flaky(d):
+            if d["image_id"] == loader.dataset_dicts[0]["image_id"]:
+                calls["bad"] += 1
+                raise IOError("synthetic corrupt image")
+            return real_mapper(d)
+
+        loader.mapper = flaky
+        it = iter(loader)
+        for _ in range(4):  # drains >1 full epoch of the 4-image dataset
+            batch = next(it)
+            assert batch["image"].shape[0] == 2
+        # the corrupt index was hit, quarantined, and never blocked a batch
+        assert calls["bad"] >= 1
+        assert 0 not in loader._fallback_candidates
+
     def test_test_loader(self, fake_dataset):
         name, _, _ = fake_dataset
         cfg = get_cfg()

@@ -107,3 +107,76 @@ def test_inference_acc_path_with_fixture_zoo(tmp_path):
     alt = os.path.join(out_dir, "coco_instances_results.json")
     assert os.path.exists(results) or os.path.exists(alt)
     assert "bbox" in tail  # evaluator summary printed
+
+
+def test_http_download_branch(tmp_path):
+    """The literal zoo-download path (VERDICT round-4 item 8): serve a fixture
+    ``.pkl`` from a localhost HTTP server, load it through a plain https-style
+    URL, and verify the download-to-cache + cache-reuse semantics
+    (reference: fvcore HTTPURLHandler used by checkpoint/catalog.py)."""
+    import functools
+    import http.server
+    import threading
+
+    import jax
+    import numpy as np
+
+    from test_torch_loader import _make_d2_state_dict
+
+    from fsgd_tpu.checkpoint import Checkpointer
+    from fsgd_tpu.config import get_cfg
+    from fsgd_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file(CONFIG)
+    cfg.MODEL.WEIGHTS = ""
+    cfg.DATASETS.TRAIN = ()
+    cfg.DATASETS.TEST = ()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.IMAGE_BUCKETS = [[128, 128]]
+    model = build_model(cfg)
+    params = model.init_params(jax.random.PRNGKey(5), image_size=(128, 128))
+    state, _ = _make_d2_state_dict(params)
+    serve_root = tmp_path / "www"
+    pkl = serve_root / ZOO_REL
+    pkl.parent.mkdir(parents=True)
+    with open(pkl, "wb") as f:
+        pickle.dump({"model": state, "__author__": "Detectron2 Model Zoo"}, f)
+
+    hits = []
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            hits.append(self.path)
+            return super().do_GET()
+
+    httpd = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), functools.partial(Handler, directory=str(serve_root))
+    )
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = "http://127.0.0.1:%d/%s" % (httpd.server_address[1], ZOO_REL)
+
+    os.environ["FSGD_CACHE"] = str(tmp_path / "cache")
+    try:
+        ckpt = Checkpointer(save_dir=str(tmp_path / "out"), model=params)
+        ckpt.load(url)
+        loaded = ckpt.checkpointables["model"]
+        leaves0 = jax.tree_util.tree_leaves(params)
+        leaves1 = jax.tree_util.tree_leaves(loaded)
+        assert len(leaves0) == len(leaves1)
+        for a, b in zip(leaves0, leaves1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        assert len(hits) == 1, hits
+        cached = tmp_path / "cache" / ZOO_REL
+        assert cached.is_file()
+
+        # second load: served from the cache, no new HTTP request
+        ckpt2 = Checkpointer(save_dir=str(tmp_path / "out2"), model=params)
+        ckpt2.load(url)
+        assert len(hits) == 1, hits
+    finally:
+        os.environ.pop("FSGD_CACHE", None)
+        httpd.shutdown()
