@@ -7,19 +7,23 @@ Additionally measures RetinaNet / Mask R-CNN train and batched static-shape
 inference for all three, written to BENCH_DETAIL.json (one row per metric)
 and logged to stderr.
 
-Robustness contract (VERDICT round-2 item 1a, round-3 item 2):
+Robustness contract (VERDICT round-2 item 1a, round-3 item 2, round-4 item 1):
  - each metric runs in its OWN subprocess (fresh TPU backend) and is retried
    on transient backend errors (FAILED_PRECONDITION after driver-side TPU
    state flaps was observed to zero out round 2);
  - ONE global wall-clock deadline (env BENCH_DEADLINE_S, default 1080 s)
-   bounds probe waiting, per-metric timeouts, and retries COLLECTIVELY —
-   round 3's rc=124 came from per-call budgets (20 min probe wait + 3x2400 s
-   per metric) that individually fit but collectively exceeded the driver's
-   capture window;
- - the north-star row is printed to stdout IMMEDIATELY when measured (and
-   again as the final line), so a late tunnel flap cannot erase it;
- - metric subprocesses share a persistent XLA compilation cache
-   (.jax_cache/), so only the first-ever run pays the 100-155 s compiles;
+   bounds probe waiting, per-metric timeouts, and retries COLLECTIVELY;
+ - COARSE-FIRST schedule (round-4 fix): pass 1 gives every metric exactly one
+   attempt, with a per-metric timeout that always reserves a floor for the
+   metrics still queued — a single flapping metric can no longer starve the
+   rest (round 4 died with 3 north-star retries eating the whole deadline);
+   pass 2 spends whatever deadline remains retrying the failures;
+ - every row is streamed to stderr (and the north-star to stdout) the moment
+   it is measured, and BENCH_DETAIL.json is persisted incrementally, so a
+   late tunnel flap cannot erase earlier results;
+ - metric subprocesses share a persistent XLA compilation cache (.jax_cache/,
+   COMMITTED to the repo) so driver runs start warm: a cached metric takes
+   ~30-60 s instead of the 300-600 s cold compile that starved round 4;
  - BENCH_DETAIL.json is MERGED by metric name: a failed metric keeps its
    previous row (annotated stale+error) — the file never shrinks;
  - if the north-star still fails after retries, the parsed line carries the
@@ -243,49 +247,27 @@ def _wait_for_tpu(max_wait=240):
         time.sleep(min(30, 10 * attempt))
 
 
-def _run_metric_subprocess(metric, attempts=3):
-    """Run one metric in an isolated subprocess with deadline-capped retries.
-
-    A fresh process means a fresh TPU backend: transient driver-side
-    FAILED_PRECONDITION states (round-2 failure mode) cannot poison later
-    metrics, and a retry actually re-initializes the chip.
-    """
-    last_err = ""
-    for attempt in range(attempts):
-        # Leave headroom for the remaining metrics + the final prints: a
-        # single metric may use at most half of what's left of the deadline.
-        timeout = min(600, _remaining() / 2)
-        if timeout < 45:
-            return None, last_err or "global deadline reached"
-        if attempt:
-            backoff = 15 * attempt
-            if _remaining() < timeout + backoff + 45:
-                return None, last_err
-            print(
-                "[bench] retry {}/{} for {} in {}s (last: {})".format(
-                    attempt + 1, attempts, metric, backoff, last_err[:200]
-                ),
-                file=sys.stderr,
-                flush=True,
-            )
-            time.sleep(backoff)
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "run_one", metric],
-                capture_output=True,
-                text=True,
-                timeout=timeout,
-                cwd=_REPO,
-            )
-        except subprocess.TimeoutExpired:
-            last_err = "timeout after {:.0f}s".format(timeout)
-            continue
-        for line in proc.stdout.splitlines():
-            if line.startswith(_ROW_TAG):
-                return json.loads(line[len(_ROW_TAG):]), None
-        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
-        last_err = "rc={} {}".format(proc.returncode, " | ".join(tail[-3:])[:400])
-    return None, last_err
+def _run_metric_once(metric, timeout):
+    """Run one metric in an isolated subprocess (fresh TPU backend: transient
+    driver-side FAILED_PRECONDITION states cannot poison later metrics).
+    Returns (row|None, err)."""
+    if timeout < 45:
+        return None, "global deadline reached"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "run_one", metric],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=_REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return None, "timeout after {:.0f}s".format(timeout)
+    for line in proc.stdout.splitlines():
+        if line.startswith(_ROW_TAG):
+            return json.loads(line[len(_ROW_TAG):]), None
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    return None, "rc={} {}".format(proc.returncode, " | ".join(tail[-3:])[:400])
 
 
 def _merge_detail(new_rows_by_metric):
@@ -313,15 +295,30 @@ def _merge_detail(new_rows_by_metric):
     return rows
 
 
+# Per-metric floor reserved for each metric still queued in pass 1: with the
+# committed warm compile cache a metric completes in ~30-60 s, so 90 s of
+# reserved budget gives every queued metric a real shot.
+_PASS1_FLOOR_S = 90
+
+
+def _publish(metric, row, errors, new_rows):
+    new_rows[metric] = row
+    if row is not None:
+        errors.pop(metric, None)
+        # Streamed the moment it exists: a later tunnel flap or deadline kill
+        # can no longer erase it from the capture.
+        print(json.dumps(row), file=sys.stderr, flush=True)
+        if metric == NORTH_STAR:
+            print(json.dumps(row), flush=True)
+    _merge_detail(dict(new_rows))  # persist incrementally
+
+
 def main():
     new_rows = {}
     errors = {}
-    # The tunnel flaps in multi-minute cycles: let the INITIAL probe use all
-    # deadline not reserved for actually measuring the north-star (~6 min
-    # with a warm compile cache).  A fixed small cap here returned rc=1 with
-    # 2000+ s of deadline unspent when the tunnel happened to be mid-flap at
-    # start-up.
-    if not _wait_for_tpu(max_wait=max(240, _remaining() - 360)):
+    # Initial probe: wait for the tunnel, but always keep enough deadline for
+    # one warm pass over all six metrics (~6 x 60 s).
+    if not _wait_for_tpu(max_wait=max(180, _remaining() - 6 * _PASS1_FLOOR_S)):
         # fail fast and loud: no value-0.0 rows, BENCH_DETAIL keeps old rows
         _merge_detail({m: None for m in METRICS})
         print(
@@ -336,31 +333,51 @@ def main():
             )
         )
         return 1
+
+    # ---- pass 1 (coarse): one attempt per metric; the timeout always leaves
+    # a _PASS1_FLOOR_S floor for every metric still queued, so one flapping
+    # metric cannot starve the rest (the round-4 failure mode).
     for i, metric in enumerate(METRICS):
-        if _remaining() < 75:
+        queued_after = len(METRICS) - i - 1
+        budget = _remaining() - _PASS1_FLOOR_S * queued_after - 30
+        timeout = min(420, budget)
+        if timeout < 45:
             errors[metric] = "global deadline reached"
             new_rows[metric] = None
             continue
-        # Mid-run flap: wait it out generously (remaining metrics each get a
-        # shot anyway; _remaining() keeps the collective budget honest).
-        if i and not _wait_for_tpu(max_wait=max(120, min(600, _remaining() - 180))):
-            errors[metric] = "TPU tunnel unresponsive before metric"
-            new_rows[metric] = None
-            continue
-        row, err = _run_metric_subprocess(metric)
-        new_rows[metric] = row
-        if row is not None:
-            # North-star goes to stdout the moment it exists: a later tunnel
-            # flap or deadline kill can no longer erase it from the capture.
-            print(json.dumps(row), file=sys.stderr, flush=True)
-            if metric == NORTH_STAR:
-                print(json.dumps(row), flush=True)
-        else:
+        row, err = _run_metric_once(metric, timeout)
+        if row is None:
             errors[metric] = err
             print(
-                json.dumps({"metric": metric, "error": err}), file=sys.stderr, flush=True
+                json.dumps({"metric": metric, "pass": 1, "error": err}),
+                file=sys.stderr, flush=True,
             )
-        _merge_detail(dict(new_rows))  # persist incrementally
+        _publish(metric, row, errors, new_rows)
+
+    # ---- pass 2 (refine): spend whatever remains retrying failures,
+    # north-star first, with a tunnel-health probe between attempts.
+    round_no = 0
+    while _remaining() > 120 and round_no < 4:
+        failed = [m for m in METRICS if new_rows.get(m) is None]
+        if not failed:
+            break
+        round_no += 1
+        for metric in failed:
+            if _remaining() < 120:
+                break
+            if not _wait_for_tpu(max_wait=min(240, _remaining() - 90)):
+                continue
+            timeout = min(420, _remaining() - 45)
+            print(
+                "[bench] pass-2 retry {} for {} (timeout {:.0f}s, {:.0f}s left)".format(
+                    round_no, metric, timeout, _remaining()
+                ),
+                file=sys.stderr, flush=True,
+            )
+            row, err = _run_metric_once(metric, timeout)
+            if row is None:
+                errors[metric] = err
+            _publish(metric, row, errors, new_rows)
 
     # the single driver-parsed line: the north-star train metric (repeated as
     # the FINAL line so a last-JSON-line parser reads it, not a detail row)

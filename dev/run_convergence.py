@@ -507,10 +507,10 @@ GAMBLER_IMAGES = 48
 # baseline at rare AP50 == 1.0 on its own training set, reducing the gate to
 # a tie-only coin flip.  Held-out eval with >= 32 rare instances (round-3
 # verdict item 3: quantum <= 0.031) gives the comparison real resolution.
-GAMBLER_PROBS = [0.88, 0.09, 0.03]
-GAMBLER_MIN_RARE = 12
-GAMBLER_EVAL_IMAGES = 128
-GAMBLER_EVAL_MIN_RARE = 32
+GAMBLER_PROBS = [0.92, 0.065, 0.015]
+GAMBLER_MIN_RARE = 10
+GAMBLER_EVAL_IMAGES = 256
+GAMBLER_EVAL_MIN_RARE = 64  # quantum <= 0.0156 (round-4 verdict item 4)
 
 
 def _gambler_detector_cfg():
@@ -607,13 +607,13 @@ def _gambler_gan_arm(pre_params, images, gts, ev_images, ev_gts, iters,
     return gan_pc
 
 
-def run_gambler(max_iters, batch_size=8, log=print, seeds=(0, 1), sweep=True,
+def run_gambler(max_iters, batch_size=8, log=print, seeds=(0, 1, 2), sweep=True,
                 pretrain_iters=None):
     """The fork's thesis as a gate, at resolvable scale (round-3 verdict
     item 3): starting from ONE plain-pretrained detector, adversarial gambler
     finetuning (GANTrainer) must STRICTLY beat continued plain training on
     held-out rare-class AP50 (>= 32 rare eval instances, quantum <= 0.031),
-    reproduced across two seeds.  If the published hyperparameters tie, a
+    reproduced across three seeds with >= 2-quantum mean margin.  If the published hyperparameters tie, a
     small KAPPA/TEMPERATURE sweep runs and the best arm is reported — a
     written negative result (accepted per round-3 verdict item 3) if
     nothing wins.
@@ -684,6 +684,18 @@ def run_gambler(max_iters, batch_size=8, log=print, seeds=(0, 1), sweep=True,
         log(f"[gambler] baseline s={s} per-class AP50: {pc}")
 
     # --- GAN arms: published hyperparameters first, sweep on tie ---
+    quantum = 1.0 / max(n_rare_ev, 1)
+
+    def _arm_wins(gan_pcs):
+        """Win = strictly above the matching seed's baseline on EVERY seed,
+        with a mean margin of at least two eval quanta (round-4 verdict
+        item 4: one ranking flip at the quantum is statistically
+        meaningless)."""
+        wins = [g[rare] > b[rare] for g, b in zip(gan_pcs, base_pcs)]
+        margins = [g[rare] - b[rare] for g, b in zip(gan_pcs, base_pcs)]
+        mean_margin = float(np.mean(margins))
+        return wins, margins, all(wins) and mean_margin >= 2 * quantum
+
     arms = [(1.0, 0.1)]
     sweep_arms = [(3.0, 0.1), (1.0, 0.3), (0.3, 0.1)]
     results = {}
@@ -696,12 +708,13 @@ def run_gambler(max_iters, batch_size=8, log=print, seeds=(0, 1), sweep=True,
         ]
         for s, pc in zip(seeds, gan_pcs):
             log(f"[gambler] GAN k={kappa} t={temperature} s={s} per-class AP50: {pc}")
-        wins = [g[rare] > b[rare] for g, b in zip(gan_pcs, base_pcs)]
+        wins, margins, is_win = _arm_wins(gan_pcs)
         results[f"kappa={kappa},temp={temperature}"] = {
             "rare_ap50": [round(p[rare], 4) for p in gan_pcs],
             "strict_wins": wins,
+            "margins": [round(m, 4) for m in margins],
         }
-        if all(wins):
+        if is_win:
             best = (kappa, temperature, gan_pcs)
             break
     if best is None and sweep:
@@ -710,25 +723,28 @@ def run_gambler(max_iters, batch_size=8, log=print, seeds=(0, 1), sweep=True,
                                   max_iters, batch_size, seeds[0], kappa,
                                   temperature, log, t0)
             log(f"[gambler] sweep GAN k={kappa} t={temperature}: rare {pc[rare]:.4f}")
-            win = pc[rare] > base_pcs[0][rare]
-            results[f"kappa={kappa},temp={temperature}"] = {
+            entry = {
                 "rare_ap50": [round(pc[rare], 4)],
-                "strict_wins": [win],
+                "strict_wins": [pc[rare] > base_pcs[0][rare]],
+                "margins": [round(pc[rare] - base_pcs[0][rare], 4)],
             }
-            if win:
-                # reproduce with the second seed before claiming the win
-                pc2 = _gambler_gan_arm(pre_params, images, gts, ev_images,
-                                       ev_gts, max_iters, batch_size, seeds[1],
-                                       kappa, temperature, log, t0)
-                win2 = pc2[rare] > base_pcs[1][rare]
-                results[f"kappa={kappa},temp={temperature}"]["rare_ap50"].append(
-                    round(pc2[rare], 4))
-                results[f"kappa={kappa},temp={temperature}"]["strict_wins"].append(win2)
-                if win2:
-                    best = (kappa, temperature, [pc, pc2])
+            results[f"kappa={kappa},temp={temperature}"] = entry
+            if pc[rare] - base_pcs[0][rare] >= 2 * quantum:
+                # promising: reproduce on the remaining seeds before claiming
+                gan_pcs = [pc]
+                for s in seeds[1:]:
+                    pc_s = _gambler_gan_arm(pre_params, images, gts, ev_images,
+                                            ev_gts, max_iters, batch_size, s,
+                                            kappa, temperature, log, t0)
+                    gan_pcs.append(pc_s)
+                    entry["rare_ap50"].append(round(pc_s[rare], 4))
+                wins, margins, is_win = _arm_wins(gan_pcs)
+                entry["strict_wins"] = wins
+                entry["margins"] = [round(m, 4) for m in margins]
+                if is_win:
+                    best = (kappa, temperature, gan_pcs)
                     break
 
-    quantum = 1.0 / max(n_rare_ev, 1)
     if best is not None:
         kappa, temperature, gan_pcs = best
         result = "strict win"
@@ -771,13 +787,15 @@ def run_gambler(max_iters, batch_size=8, log=print, seeds=(0, 1), sweep=True,
         "sweep": results,
         "iters": max_iters,
         "result": result,
-        "gate": "held-out rare-class AP50 STRICTLY > plain-training baseline "
-                "on two seeds (>=32 rare eval instances, undertrained fork); "
-                "a completed KAPPA/TEMPERATURE sweep with no winner is a "
-                "documented negative result (r3 verdict item 3) and passes "
-                "iff the gambler is harmless (best arm within one quantum "
-                "of baseline)",
+        "gate": "held-out rare-class AP50 strictly > plain-training baseline "
+                "on ALL seeds with mean margin >= 2 eval quanta (>=64 rare "
+                "eval instances, 3 seeds, undertrained fork); a completed "
+                "kappa/temperature sweep with no such winner is a documented "
+                "negative result (accepted per r3 verdict item 3, written up "
+                "in STATUS.md) and passes iff the gambler is harmless (some "
+                "arm within one quantum of baseline on every seed it ran)",
         "passed": (result == "strict win") or harmless,
+        "result_is_negative": result != "strict win",
         "wall_s": round(time.time() - t0, 1),
     }
 

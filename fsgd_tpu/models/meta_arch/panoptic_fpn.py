@@ -54,7 +54,9 @@ class PanopticFPN(GeneralizedRCNN):
         roi_losses = self.roi_heads.forward_train(params["roi_heads"], features, proposals, batch, r_roi)
         losses = dict(sem_losses)
         losses.update({k: v * self.instance_loss_weight for k, v in roi_losses.items()})
-        losses.update({k: v * self.instance_loss_weight for k, v in proposal_losses.items()})
+        # NOTE: the reference scales only the ROI-head (detector) losses;
+        # proposal/RPN losses enter UNWEIGHTED (panoptic_fpn.py:103-106)
+        losses.update(proposal_losses)
         return sum(losses.values()), losses
 
     def inference_fn(self, params, batch):

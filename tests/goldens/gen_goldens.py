@@ -597,11 +597,19 @@ E2E_OVERRIDES["keypoint_rcnn"] = E2E_OVERRIDES["faster_rcnn"] + [
     "MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS", "(64, 64)",
 ]
 
+E2E_OVERRIDES["cascade"] = E2E_OVERRIDES["mask_rcnn"]
+
+E2E_OVERRIDES["panoptic"] = E2E_OVERRIDES["mask_rcnn"] + [
+    "MODEL.SEM_SEG_HEAD.CONVS_DIM", "64",
+]
+
 E2E_CONFIGS = {
     "retinanet": "configs/COCO-Detection/retinanet_R_50_FPN_1x.yaml",
     "faster_rcnn": "configs/COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml",
     "mask_rcnn": "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
     "keypoint_rcnn": "configs/COCO-Keypoints/keypoint_rcnn_R_50_FPN_1x.yaml",
+    "cascade": "configs/Misc/cascade_mask_rcnn_R_50_FPN_1x.yaml",
+    "panoptic": "configs/COCO-PanopticSegmentation/panoptic_fpn_R_50_1x.yaml",
 }
 
 # Two 128x128 images (divisible by every FPN stride: no ImageList padding
@@ -709,11 +717,21 @@ def _spread_head_weights(model, which):
             h.objectness_logits.bias.normal_(0, 0.5)
             h.anchor_deltas.weight.normal_(0, 0.03)
             h.anchor_deltas.bias.normal_(0, 0.05)
-            p = model.roi_heads.box_predictor
-            p.cls_score.weight.normal_(0, 0.1)
-            p.cls_score.bias.normal_(0, 0.5)
-            p.bbox_pred.weight.normal_(0, 0.02)
-            p.bbox_pred.bias.normal_(0, 0.05)
+            preds = model.roi_heads.box_predictor
+            preds = list(preds) if isinstance(preds, nn.ModuleList) else [preds]
+            for p in preds:  # cascade: one predictor per stage
+                p.cls_score.weight.normal_(0, 0.1)
+                p.cls_score.bias.normal_(0, 0.5)
+                p.bbox_pred.weight.normal_(0, 0.02)
+                p.bbox_pred.bias.normal_(0, 0.05)
+            if hasattr(model, "sem_seg_head"):
+                for m in model.sem_seg_head.modules():
+                    if isinstance(m, nn.Conv2d):
+                        m.weight.normal_(0, 0.05)
+                        if m.bias is not None:
+                            m.bias.normal_(0, 0.02)
+                model.sem_seg_head.predictor.weight.normal_(0, 0.1)
+                model.sem_seg_head.predictor.bias.normal_(0, 0.3)
             if hasattr(model.roi_heads, "mask_head"):
                 # spread mask-head weights too: default MSRA init leaves the
                 # mask logits near 0 (sigmoid 0.5 everywhere), which would pin
@@ -785,12 +803,29 @@ def _save_weights_fp16_roundtrip(model, path):
         )
 
 
-def _e2e_batched_inputs(with_masks=False, with_keypoints=False):
+def e2e_gt_sem_seg(num_stuff=54, ignore=255):
+    """(2, H, W) int64 stuff labels: deterministic quadrant fill + an
+    ignore-value strip, so every loss branch (valid + ignored pixels) runs."""
+    out = np.zeros((2, E2E_HW, E2E_HW), np.int64)
+    half = E2E_HW // 2
+    labels = [[3, 11, 27, 40], [0, 7, 33, 52]]
+    for i in range(2):
+        a, b, c, d = labels[i]
+        out[i, :half, :half] = a % num_stuff
+        out[i, :half, half:] = b % num_stuff
+        out[i, half:, :half] = c % num_stuff
+        out[i, half:, half:] = d % num_stuff
+        out[i, 60:68, :] = ignore
+    return out
+
+
+def _e2e_batched_inputs(with_masks=False, with_keypoints=False, with_sem_seg=False):
     from detectron2.structures import Boxes, Instances
 
     images = e2e_images()
     masks = e2e_gt_masks() if with_masks else None
     kpts = e2e_gt_keypoints() if with_keypoints else None
+    sem = e2e_gt_sem_seg() if with_sem_seg else None
     batched = []
     for i in range(2):
         inst = Instances((E2E_HW, E2E_HW))
@@ -808,16 +843,17 @@ def _e2e_batched_inputs(with_masks=False, with_keypoints=False):
             from detectron2.structures import BitMasks
 
             inst.gt_masks = BitMasks(torch.from_numpy(masks[i, :n].astype(bool)))
-        batched.append(
-            {
-                "image": torch.as_tensor(
-                    images[i].transpose(2, 0, 1).astype(np.float32)
-                ),
-                "height": E2E_HW,
-                "width": E2E_HW,
-                "instances": inst,
-            }
-        )
+        item = {
+            "image": torch.as_tensor(
+                images[i].transpose(2, 0, 1).astype(np.float32)
+            ),
+            "height": E2E_HW,
+            "width": E2E_HW,
+            "instances": inst,
+        }
+        if with_sem_seg:
+            item["sem_seg"] = torch.from_numpy(sem[i])
+        batched.append(item)
     return batched
 
 
@@ -869,29 +905,33 @@ def gen_model_e2e(which):
             ).numpy()
         else:
             batched = _e2e_batched_inputs(
-                with_masks=(which == "mask_rcnn"),
+                with_masks=which in ("mask_rcnn", "cascade", "panoptic"),
                 with_keypoints=(which == "keypoint_rcnn"),
+                with_sem_seg=(which == "panoptic"),
             )
-            if which == "mask_rcnn":
+            if which in ("mask_rcnn", "cascade", "panoptic"):
                 out["gt_masks"] = e2e_gt_masks()
+            if which == "panoptic":
+                out["gt_sem_seg"] = e2e_gt_sem_seg()
             if which == "keypoint_rcnn":
                 out["gt_keypoints"] = e2e_gt_keypoints()
-            # diagnostic capture: train-mode RPN proposals + ROI sampling stats
-            images_il = model.preprocess_image(batched)
-            gt_instances = [x["instances"] for x in batched]
-            feats = model.backbone(images_il.tensor)
-            proposals, _ = model.proposal_generator(images_il, feats, gt_instances)
-            for i, p in enumerate(proposals):
-                out["rpn_prop_boxes_%d" % i] = p.proposal_boxes.tensor.numpy()
-                out["rpn_prop_logits_%d" % i] = p.objectness_logits.numpy()
-            sampled = model.roi_heads.label_and_sample_proposals(proposals, gt_instances)
-            out["roi_sampled_count"] = np.array(
-                [len(p) for p in sampled], np.int64
-            )
-            out["roi_fg_count"] = np.array(
-                [int((p.gt_classes != model.roi_heads.num_classes).sum()) for p in sampled],
-                np.int64,
-            )
+            if which in ("faster_rcnn", "mask_rcnn", "keypoint_rcnn"):
+                # diagnostic capture: train-mode RPN proposals + ROI stats
+                images_il = model.preprocess_image(batched)
+                gt_instances = [x["instances"] for x in batched]
+                feats = model.backbone(images_il.tensor)
+                proposals, _ = model.proposal_generator(images_il, feats, gt_instances)
+                for i, p in enumerate(proposals):
+                    out["rpn_prop_boxes_%d" % i] = p.proposal_boxes.tensor.numpy()
+                    out["rpn_prop_logits_%d" % i] = p.objectness_logits.numpy()
+                sampled = model.roi_heads.label_and_sample_proposals(proposals, gt_instances)
+                out["roi_sampled_count"] = np.array(
+                    [len(p) for p in sampled], np.int64
+                )
+                out["roi_fg_count"] = np.array(
+                    [int((p.gt_classes != model.roi_heads.num_classes).sum()) for p in sampled],
+                    np.int64,
+                )
             losses = model(batched)
     for k, v in losses.items():
         out["loss_" + k if not k.startswith("loss") else k] = v.detach().numpy()
@@ -899,7 +939,17 @@ def gen_model_e2e(which):
     # ---- inference: final detections per image
     model.eval()
     with torch.no_grad():
-        if which in ("mask_rcnn", "keypoint_rcnn"):
+        if which == "panoptic":
+            # PanopticFPN.forward (eval) postprocesses in place; input frame
+            # == output frame (128) so boxes/sem-seg stay in-frame.  The
+            # panoptic COMBINE step is covered by the PQ convergence gate +
+            # its own unit tests (mask pasting binarization is fragile
+            # cross-framework); here we pin sem_seg logits + detections.
+            results = model(_e2e_batched_inputs(with_sem_seg=True))
+            processed = results
+            for i, r in enumerate(results):
+                out["sem_seg_logits_%d" % i] = r["sem_seg"].numpy()
+        elif which in ("mask_rcnn", "keypoint_rcnn", "cascade"):
             # do_postprocess=False: capture the RAW 28x28 per-detection mask
             # probabilities (a pure function of the weights — the tight pin
             # for the deconv/predictor layout conversions) instead of pasted
@@ -917,7 +967,7 @@ def gen_model_e2e(which):
         out["det_boxes_%d" % i] = inst.pred_boxes.tensor.numpy()
         out["det_scores_%d" % i] = inst.scores.numpy()
         out["det_classes_%d" % i] = inst.pred_classes.numpy()
-        if inst.has("pred_masks"):
+        if inst.has("pred_masks") and which != "panoptic":
             out["det_masks_%d" % i] = inst.pred_masks.numpy()[:, 0]  # (N, 28, 28) probs
         if inst.has("pred_keypoints"):
             out["det_keypoints_%d" % i] = inst.pred_keypoints.numpy()  # (N, 17, 3)
@@ -1164,6 +1214,8 @@ def main():
     gen_model_e2e("faster_rcnn")
     gen_model_e2e("mask_rcnn")
     gen_model_e2e("keypoint_rcnn")
+    gen_model_e2e("cascade")
+    gen_model_e2e("panoptic")
     gen_kp_decode()
     gen_gambler()
 
