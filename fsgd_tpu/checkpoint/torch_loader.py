@@ -257,9 +257,20 @@ def _flax_path_to_torch_name(parts) -> Optional[str]:
         return base + (".weight" if kind == "conv" else ".norm." + norm_leaf())
 
     # ---- Semantic seg head ----------------------------------------------------
+    # reference scale heads are registered under the FEATURE name (p2..p5) with
+    # Sequential indices 0,2,4 for convs (odd slots are Upsample modules) and
+    # the norm as the Conv2d wrapper's .norm (semantic_seg.py:113-139)
     m = re.search(r"sem_seg_head/l(\d+)_conv(\d+)$", p)
     if m:
-        return "sem_seg_head.scale_heads.{}.{}.{}".format(m.group(1), int(m.group(2)), wb)
+        return "sem_seg_head.p{}.{}.{}".format(
+            2 + int(m.group(1)), 2 * int(m.group(2)), wb
+        )
+    m = re.search(r"sem_seg_head/l(\d+)_norm(\d+)$", p)
+    if m:
+        return "sem_seg_head.p{}.{}.norm.{}".format(
+            2 + int(m.group(1)), 2 * int(m.group(2)),
+            "weight" if leaf in ("scale", "weight") else _NORM_LEAVES.get(leaf, leaf),
+        )
     m = re.search(r"sem_seg_head/predictor$", p)
     if m:
         return "sem_seg_head.predictor.{}".format(wb)

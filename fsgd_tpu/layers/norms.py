@@ -61,14 +61,19 @@ class SyncBatchNorm(nn.Module):
         return bn(x)
 
 
-def get_norm(norm: str, out_channels: int, axis_name: Optional[str] = None):
+def get_norm(norm: str, out_channels: int, axis_name: Optional[str] = None,
+             name: Optional[str] = None):
     """Return a norm module instance by config string, or None for ''."""
     if norm == "" or norm is None:
         return None
     if norm == "FrozenBN":
-        return FrozenBatchNorm(features=out_channels)
+        return FrozenBatchNorm(features=out_channels, name=name)
     if norm == "GN":
-        return nn.GroupNorm(num_groups=32, epsilon=1e-5, param_dtype=jnp.float32)
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, param_dtype=jnp.float32, name=name)
     if norm in ("BN", "SyncBN", "naiveSyncBN"):
-        return SyncBatchNorm(features=out_channels, axis_name=axis_name if norm != "BN" else None)
+        return SyncBatchNorm(
+            features=out_channels,
+            axis_name=axis_name if norm != "BN" else None,
+            name=name,
+        )
     raise ValueError("Unknown norm type: {}".format(norm))

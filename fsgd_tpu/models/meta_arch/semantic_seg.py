@@ -48,7 +48,8 @@ class SemSegFPNHead(nn.Module):
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="l{}_conv{}".format(i, k),
                 )(x)
-                norm = get_norm(self.norm, self.convs_dim)
+                norm = get_norm(self.norm, self.convs_dim,
+                                name="l{}_norm{}".format(i, k))
                 if norm is not None:
                     x = norm(x)
                 x = nn.relu(x)

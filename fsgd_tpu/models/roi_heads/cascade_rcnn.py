@@ -100,6 +100,24 @@ class CascadeROIHeads(StandardROIHeads):
         )
         return logits, deltas  # (B*S, K+1), (B*S, 4)
 
+    @staticmethod
+    def _clip_to_image(boxes, image_size):
+        """Clip (B, S, 4) xyxy boxes to per-image (h, w) — the reference
+        clips refined boxes between stages (_create_proposals_from_boxes,
+        cascade_rcnn.py:222-243); skipping this shifts the next stage's
+        pooling for any box whose deltas push it outside the image."""
+        h = image_size[:, 0:1].astype(boxes.dtype)
+        w = image_size[:, 1:2].astype(boxes.dtype)
+        return jnp.stack(
+            [
+                jnp.clip(boxes[..., 0], 0.0, w),
+                jnp.clip(boxes[..., 1], 0.0, h),
+                jnp.clip(boxes[..., 2], 0.0, w),
+                jnp.clip(boxes[..., 3], 0.0, h),
+            ],
+            axis=-1,
+        )
+
     def _rematch(self, boxes, box_valid, batch, stage: int):
         """Assign labels to refined boxes with the stage's matcher (no sampling)."""
 
@@ -150,6 +168,12 @@ class CascadeROIHeads(StandardROIHeads):
 
             if stage < self.num_cascade_stages - 1:
                 refined = transform.apply_deltas(deltas, boxes.reshape(b * s, 4)).reshape(b, s, 4)
+                refined = self._clip_to_image(refined, batch["image_size"])
+                # reference drops empty boxes from later stages (training only)
+                nonempty = (refined[..., 2] > refined[..., 0]) & (
+                    refined[..., 3] > refined[..., 1]
+                )
+                valid = valid & nonempty
                 boxes = jax.lax.stop_gradient(refined)
                 gt_classes, gt_idx = self._rematch(boxes, valid, batch, stage + 1)
                 gt_classes = jax.lax.stop_gradient(gt_classes)
@@ -190,6 +214,7 @@ class CascadeROIHeads(StandardROIHeads):
                 boxes = self.cascade_transforms[stage].apply_deltas(
                     deltas, boxes.reshape(b * p, 4)
                 ).reshape(b, p, 4)
+                boxes = self._clip_to_image(boxes, batch["image_size"])
 
         probs = sum(all_probs) / self.num_cascade_stages
         decoded = predict_boxes(

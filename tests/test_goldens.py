@@ -315,6 +315,8 @@ def _e2e_cfg(which):
         "faster_rcnn": "configs/COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml",
         "mask_rcnn": "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
         "keypoint_rcnn": "configs/COCO-Keypoints/keypoint_rcnn_R_50_FPN_1x.yaml",
+        "cascade": "configs/Misc/cascade_mask_rcnn_R_50_FPN_1x.yaml",
+        "panoptic": "configs/COCO-PanopticSegmentation/panoptic_fpn_R_50_1x.yaml",
     }[which]
     z = _load("%s_e2e.npz" % which)
     cfg = get_cfg()
@@ -327,7 +329,7 @@ def _e2e_cfg(which):
     cfg.TPU.IMAGE_BUCKETS = [[128, 128]]
     cfg.TPU.MAX_GT_PER_IMAGE = 3
     cfg.TPU.APPROX_TOPK = False
-    if which == "mask_rcnn":
+    if which in ("mask_rcnn", "cascade", "panoptic"):
         # full-resolution GT bitmasks: the reference crops them at stride 1
         cfg.TPU.GT_MASK_STRIDE = 1
     return cfg, z
@@ -356,6 +358,8 @@ def _e2e_batch(z):
     }
     if "gt_masks" in z:
         batch["gt_masks"] = z["gt_masks"].astype(np.float32)  # (B, G, H, W)
+    if "gt_sem_seg" in z:
+        batch["gt_sem_seg"] = z["gt_sem_seg"].astype(np.int32)  # (B, H, W)
     if "gt_keypoints" in z:
         batch["gt_keypoints"] = z["gt_keypoints"].astype(np.float32)  # (B, G, 17, 3)
         # keypoint configs train a single (person) class; the torch capture
@@ -520,6 +524,102 @@ def test_mask_rcnn_model_e2e_golden():
         diffs = [float(np.abs(ref_masks[r] - masks[j]).max()) for r, j in pairs]
         assert np.median(diffs) < 5e-3, np.median(diffs)
         assert max(diffs) < 3e-2, max(diffs)
+
+
+@pytest.mark.slow
+def test_cascade_rcnn_model_e2e_golden():
+    """Composed Cascade Mask R-CNN parity (VERDICT round-4 item 7): per-stage
+    losses (the 1/3 gradient-scaled shared heads, per-stage box-transform
+    weights, stage-wise rematching) plus averaged-score inference and raw
+    mask probs must reproduce the reference with shared weights."""
+    cfg, z = _e2e_cfg("cascade")
+    model, params = _e2e_load_params(cfg, "cascade")
+    batch = {k: np.asarray(v) for k, v in _e2e_batch(z).items()}
+
+    import jax
+
+    _, losses = model.loss_fn(params, batch, jax.random.PRNGKey(0))
+    # later-stage box_reg gets a looser rtol: each stage refines boxes with
+    # the previous stage's deltas, so fp noise compounds across two rematch
+    # boundaries (IoU 0.6/0.7 thresholds) — one flipped foreground label
+    # moves the stage-2 reg mean by O(1/n_fg) with nothing wrong numerically
+    # (observed: 2.2% on loss_box_reg_stage2, all cls losses within 5e-3).
+    tols = {
+        "loss_rpn_cls": 5e-3, "loss_rpn_loc": 5e-3,
+        "loss_cls_stage0": 5e-3, "loss_box_reg_stage0": 5e-3,
+        "loss_cls_stage1": 1e-2, "loss_box_reg_stage1": 3e-2,
+        "loss_cls_stage2": 1e-2, "loss_box_reg_stage2": 5e-2,
+    }
+    for key, rtol in tols.items():
+        np.testing.assert_allclose(
+            float(losses[key]), float(z[key]), rtol=rtol, atol=1e-4, err_msg=key
+        )
+    np.testing.assert_allclose(
+        float(losses["loss_mask"]), float(z["loss_mask"]), rtol=5e-2,
+        err_msg="loss_mask",
+    )
+
+    dets = model.inference_fn(params, batch)
+    for i in range(2):
+        valid = np.asarray(dets["valid"][i])
+        boxes = np.asarray(dets["boxes"][i])[valid]
+        scores = np.asarray(dets["scores"][i])[valid]
+        classes = np.asarray(dets["classes"][i])[valid]
+        masks = np.asarray(dets["masks"][i])[valid]
+        ref_n = len(z["det_scores_%d" % i])
+        assert abs(len(scores) - ref_n) <= max(2, ref_n // 20), (len(scores), ref_n)
+        pairs = _match_detections(
+            z["det_boxes_%d" % i], z["det_scores_%d" % i], z["det_classes_%d" % i],
+            boxes, scores, classes,
+        )
+        assert len(pairs) >= ref_n * 0.95, (len(pairs), ref_n)
+        ref_masks = z["det_masks_%d" % i]
+        diffs = [float(np.abs(ref_masks[r] - masks[j]).max()) for r, j in pairs]
+        assert np.median(diffs) < 5e-3, np.median(diffs)
+        assert max(diffs) < 3e-2, max(diffs)
+
+
+@pytest.mark.slow
+def test_panoptic_fpn_model_e2e_golden():
+    """Composed PanopticFPN parity (VERDICT round-4 item 7): sem-seg loss
+    (full-res CE with ignore_value), unweighted RPN losses, weighted ROI
+    losses, and inference sem-seg logits + detections must reproduce the
+    reference with shared weights.  The panoptic COMBINE heuristic is pinned
+    separately (unit tests + the PQ convergence gate)."""
+    cfg, z = _e2e_cfg("panoptic")
+    model, params = _e2e_load_params(cfg, "panoptic")
+    batch = {k: np.asarray(v) for k, v in _e2e_batch(z).items()}
+
+    import jax
+
+    _, losses = model.loss_fn(params, batch, jax.random.PRNGKey(0))
+    for key in ("loss_sem_seg", "loss_rpn_cls", "loss_rpn_loc", "loss_cls",
+                "loss_box_reg"):
+        np.testing.assert_allclose(
+            float(losses[key]), float(z[key]), rtol=5e-3, atol=1e-4, err_msg=key
+        )
+    np.testing.assert_allclose(
+        float(losses["loss_mask"]), float(z["loss_mask"]), rtol=5e-2,
+        err_msg="loss_mask",
+    )
+
+    dets = model.inference_fn(params, batch)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(dets["sem_seg_logits"][i]).transpose(2, 0, 1),
+            z["sem_seg_logits_%d" % i], atol=5e-3,
+        )
+        valid = np.asarray(dets["valid"][i])
+        boxes = np.asarray(dets["boxes"][i])[valid]
+        scores = np.asarray(dets["scores"][i])[valid]
+        classes = np.asarray(dets["classes"][i])[valid]
+        ref_n = len(z["det_scores_%d" % i])
+        assert abs(len(scores) - ref_n) <= max(2, ref_n // 20), (len(scores), ref_n)
+        pairs = _match_detections(
+            z["det_boxes_%d" % i], z["det_scores_%d" % i], z["det_classes_%d" % i],
+            boxes, scores, classes,
+        )
+        assert len(pairs) >= ref_n * 0.95, (len(pairs), ref_n)
 
 
 @pytest.mark.slow
