@@ -131,21 +131,25 @@ def _batch(name, batch, h, w, max_gt):
     return np_batch
 
 
-def bench_train(name, h, w, batch, max_gt, compute, iters):
+def bench_train(name, h, w, batch, max_gt, compute, iters, phase=lambda tag: None):
     import jax
 
     from fsgd_tpu.parallel import create_train_state, make_train_step
     from fsgd_tpu.solver import build_optimizer
 
     cfg, model = _build(name, (h, w), compute, max_gt)
+    phase("built")
     params = model.init_params(jax.random.PRNGKey(0), image_size=(h, w))
+    phase("params_init")
     optimizer = build_optimizer(cfg, params)
     state = create_train_state(params, optimizer)
     step = make_train_step(model.loss_fn, optimizer, mesh=None, donate=True)
 
     device_batch = jax.tree.map(jax.device_put, _batch(name, batch, h, w, max_gt))
+    phase("batch_on_device")
     state, metrics = step(state, device_batch, jax.random.PRNGKey(0))  # compile
     jax.block_until_ready(metrics["total_loss"])
+    phase("step_compiled")
 
     t0 = time.perf_counter()
     for i in range(iters):
@@ -156,16 +160,20 @@ def bench_train(name, h, w, batch, max_gt, compute, iters):
     return batch * iters / dt
 
 
-def bench_infer(name, h, w, batch, compute, iters):
+def bench_infer(name, h, w, batch, compute, iters, phase=lambda tag: None):
     import jax
 
     cfg, model = _build(name, (h, w), compute, max_gt=8)
+    phase("built")
     params = model.init_params(jax.random.PRNGKey(0), image_size=(h, w))
+    phase("params_init")
     fwd = jax.jit(model.inference_fn)
 
     device_batch = jax.tree.map(jax.device_put, _batch(name, batch, h, w, 8))
+    phase("batch_on_device")
     out = fwd(params, device_batch)  # compile
     jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    phase("step_compiled")
 
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -178,13 +186,27 @@ def bench_infer(name, h, w, batch, compute, iters):
 
 def run_one(metric):
     """Measure a single metric in this process; print a tagged JSON row."""
+    t_start = time.time()
+
+    def _phase(tag):
+        # phase timestamps to stderr: lets a post-mortem attribute warm-run
+        # wall time (device init vs compile fetch vs timed loop) under the
+        # high-latency axon tunnel
+        print("[run_one] {} +{:.1f}s".format(tag, time.time() - t_start),
+              file=sys.stderr, flush=True)
+
     _enable_compile_cache()
+    import jax
+
+    jax.devices()
+    _phase("backend_up")
     h, w, batch, max_gt, compute, iters = _shapes()
     name, kind = metric.rsplit("_", 1)
     if kind == "train":
-        v = bench_train(name, h, w, batch, max_gt, compute, iters)
+        v = bench_train(name, h, w, batch, max_gt, compute, iters, phase=_phase)
     else:
-        v = bench_infer(name, h, w, batch, compute, iters)
+        v = bench_infer(name, h, w, batch, compute, iters, phase=_phase)
+    _phase("measured")
     row = {
         "metric": metric + "_imgs_per_sec_per_chip",
         "value": round(v, 3),

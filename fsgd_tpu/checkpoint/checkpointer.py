@@ -101,7 +101,7 @@ class Checkpointer:
             from .catalog import resolve_checkpoint_path
 
             path = resolve_checkpoint_path(path)
-        if path.startswith(("http://", "https://")):
+        if path and path.startswith(("http://", "https://")):
             path = _cached_download(path, self.logger)
         if not path or not os.path.isfile(path):
             self.logger.warning("No checkpoint found at %s; starting from scratch", path)
