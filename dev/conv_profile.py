@@ -90,6 +90,18 @@ def _floor_ms(hw_cin, kernel, stride, cout, bwd):
 
 
 def _time_one(hw_cin, kernel, stride, cout, bwd, iters):
+    """Time one conv config: `iters` sequential executions inside ONE jitted
+    lax.scan dispatch.
+
+    Two tunnel pathologies make the naive async-loop-over-identical-calls
+    wrong here: (a) the axon server memoizes identical (executable, args)
+    dispatches, so repeats return in ~15 us without executing; (b) dispatch
+    RTT flaps 25 ms - 4 s, drowning sub-10 ms kernels.  The scan carries a
+    data dependency through the kernel operand — a runtime-zero but
+    compiler-opaque perturbation (c * 1e-20 rounds to +0.0 in bf16, but c is
+    loop-carried so XLA cannot hoist the conv) — so every iteration really
+    executes, and the whole measurement costs one RTT.  Best of 3 dispatches.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -106,15 +118,33 @@ def _time_one(hw_cin, kernel, stride, cout, bwd, iters):
         )
         return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-6
 
-    fn = jax.grad(fwd, argnums=(0, 1)) if bwd else fwd
-    fn = jax.jit(fn)
-    out = fn(k, x)
+    def body(c, _):
+        kk = k_in + (c * 1e-20).astype(k_in.dtype)
+        if bwd:
+            dk, dx = jax.grad(fwd, argnums=(0, 1))(kk, x_in)
+            return dk[0, 0, 0, 0].astype(jnp.float32), None
+        return fwd(kk, x_in).astype(jnp.float32), None
+
+    # k_in/x_in bound inside the jit trace so body closes over traced args
+    # (passing them as scan carries would add their HBM cost to every iter)
+    k_in = x_in = None
+
+    @jax.jit
+    def run_jit(c0, k_arg, x_arg):
+        nonlocal k_in, x_in
+        k_in, x_in = k_arg, x_arg
+        return jax.lax.scan(body, c0, None, length=iters)[0]
+
+    c0 = jnp.float32(0.0)
+    out = run_jit(c0, k, x)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(k, x)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run_jit(out + 1.0, k, x)  # distinct arg: defeats memoization
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
 
 
 def main():
