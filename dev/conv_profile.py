@@ -135,14 +135,16 @@ def _time_one(hw_cin, kernel, stride, cout, bwd, iters):
         k_in, x_in = k_arg, x_arg
         return jax.lax.scan(body, c0, None, length=iters)[0]
 
+    # jax.block_until_ready does NOT wait for execution under the axon
+    # tunnel (measured: 0.55 s "block" vs 84 s real completion on a chained
+    # matmul scan) — force completion by fetching the scalar carry to host.
+    # The fetch adds ~2 RTTs, amortized over `iters` scan iterations.
     c0 = jnp.float32(0.0)
-    out = run_jit(c0, k, x)
-    jax.block_until_ready(out)
+    out = float(run_jit(c0, k, x))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run_jit(out + 1.0, k, x)  # distinct arg: defeats memoization
-        jax.block_until_ready(out)
+        out = float(run_jit(jnp.float32(out + 1.0), k, x))
         best = min(best, (time.perf_counter() - t0) / iters * 1e3)
     return best
 
